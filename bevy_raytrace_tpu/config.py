@@ -1,0 +1,85 @@
+"""Render configuration.
+
+The reference has no config system at all — resolution, samples-per-ray,
+bounce depth, FOV, and workgroup size are compile-time constants scattered
+over the code (`RENDER_TARGET_SIZE`/`SAMPLES_PER_RAY` reference
+`src/lib.rs:25-26`, bounce cap as the literal `0..3` dispatch loop
+`src/ray_trace_node.rs:213` and `bounces == 2u` kill
+`assets/shaders/shade.wgsl:236`, `WORKGROUP_SIZE`
+`src/ray_trace_node.rs:16`).  Here all of that is one frozen, hashable
+dataclass: it is a *static* argument to the jitted render step, so a config
+change recompiles (exactly like editing the reference's constants rebuilt the
+shader) while scene/camera stay traced and live-editable per frame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# Shared numeric constants, mirroring the WGSL header constants that every
+# reference shader re-declares (`assets/shaders/generate.wgsl:1-3`).
+VERY_FAR = 1.0e20  # "dead ray" / no-hit sentinel distance
+EPSILON = 1.0e-3  # minimum ray t — RTiOW shadow-acne guard
+DEFAULT_FOV = 1.5708  # 90 deg, reference `src/ray_trace_camera.rs:12`
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render parameters (hashable; jit static argument).
+
+    Attributes:
+      width, height: framebuffer resolution in pixels
+        (reference default 1920x1080, `src/lib.rs:25`).
+      samples_per_pixel: Monte-Carlo samples per pixel per frame
+        (reference `SAMPLES_PER_RAY=1`, `src/lib.rs:26`; the multi-sample
+        accumulate loop the reference scaffolds but never wires
+        (`assets/shaders/collect.wgsl:115-122`) is real here).
+      max_depth: number of path segments (scatter events + the final miss).
+        The reference hardcodes 3 shade rounds with a kill at bounces==2
+        (`src/ray_trace_node.rs:213-217`, `assets/shaders/shade.wgsl:236`).
+      seed: base RNG seed folded into every PCG4D counter.
+      ray_chunk: rays processed per inner step; bounds the transient
+        [rays, spheres] intersection workspace.  0 = whole wavefront at once.
+      spp_chunk: samples traced per scan iteration (memory/throughput
+        trade-off; total spp must be divisible by it).
+      t_min / t_max: valid hit interval (reference `EPSILON`/`VERY_FAR`).
+    """
+
+    width: int = 400
+    height: int = 225
+    samples_per_pixel: int = 16
+    max_depth: int = 8
+    seed: int = 0
+    ray_chunk: int = 0
+    spp_chunk: int = 1
+    t_min: float = EPSILON
+    t_max: float = VERY_FAR
+
+    def __post_init__(self):
+        if self.samples_per_pixel % max(self.spp_chunk, 1) != 0:
+            raise ValueError(
+                f"samples_per_pixel={self.samples_per_pixel} must be divisible "
+                f"by spp_chunk={self.spp_chunk}"
+            )
+        if self.ray_chunk:
+            if (self.width * self.height) % self.ray_chunk != 0:
+                raise ValueError(
+                    f"width*height={self.width * self.height} must be divisible "
+                    f"by ray_chunk={self.ray_chunk}"
+                )
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+    @property
+    def rays_per_frame(self) -> int:
+        """Camera rays per rendered frame (paths)."""
+        return self.num_pixels * self.samples_per_pixel
+
+    @property
+    def aspect(self) -> float:
+        return self.width / self.height
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

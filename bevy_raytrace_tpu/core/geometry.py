@@ -1,0 +1,104 @@
+"""Ray-sphere intersection (the reference's `intersect` stage).
+
+Replaces `assets/shaders/intersect.wgsl:94-143`: the RTiOW half-b quadratic
+per sphere, near-then-far root selection against [t_min, t_max], outward
+normal `(p - c)/r`, front-face flip, material id carry, and a brute-force
+scan over all spheres ("The world isn't partitioned in any way",
+`intersect.wgsl:132-143` — no BVH, same here: RTiOW scenes are ~500 spheres
+and a dense [rays, spheres] sweep is exactly what the TPU wants).
+
+TPU-first formulation: instead of a per-thread loop over spheres, the whole
+[R, N] test matrix is expressed so its two inner products are [R,3]x[3,N]
+matmuls (MXU) and everything else is fused elementwise (VPU):
+
+    half_b[r,n] = (o_r - c_n) . d_r = (o_r . d_r)      - (d @ C^T)[r,n]
+    c_q   [r,n] = |o_r|^2 - 2 (o @ C^T)[r,n] + (|c_n|^2 - rad_n^2)
+
+The nearest hit is a masked min + argmin over the sphere axis — the
+reduction fuses with its producers, so the [R,N] workspace is bounded by
+the two matmul outputs; callers bound R via RenderConfig.ray_chunk.
+
+Differentiability: `t` is smooth in (origin, dir, centers, radii) on the
+interior of each hit region; the argmin/root-choice/hit masks are piecewise
+constant (gradients follow the sampled discrete structure, matching finite
+differences away from silhouettes — SURVEY.md §7 "hard parts").  All
+`sqrt`/`div` sites use the double-where guard so masked-out lanes cannot
+poison gradients with NaNs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from bevy_raytrace_tpu.core.types import Hit, Ray, Scene
+
+
+def intersect_scene(ray: Ray, scene: Scene, t_min: float, t_max: float) -> Hit:
+    """Nearest-hit query for a ray batch against every sphere.
+
+    ray.origin/dir: [R,3]; returns Hit with [R]-batched fields.
+    """
+    o = ray.origin  # [R,3]
+    d = ray.dir  # [R,3]
+    c = scene.centers  # [N,3]
+    rad = scene.radii  # [N]
+
+    # MXU-friendly inner products.
+    d_dot_c = d @ c.T  # [R,N]
+    o_dot_c = o @ c.T  # [R,N]
+    o_dot_d = jnp.sum(o * d, axis=-1, keepdims=True)  # [R,1]
+    o2 = jnp.sum(o * o, axis=-1, keepdims=True)  # [R,1]
+    a = jnp.sum(d * d, axis=-1, keepdims=True)  # [R,1] (1 for unit dirs)
+    c2_minus_r2 = jnp.sum(c * c, axis=-1) - rad * rad  # [N]
+
+    half_b = o_dot_d - d_dot_c  # [R,N]
+    c_q = o2 - 2.0 * o_dot_c + c2_minus_r2[None, :]  # [R,N]
+
+    disc = half_b * half_b - a * c_q  # [R,N]
+    hit_any = disc > 0.0
+    # Guarded sqrt: sqrt'(0) = inf would leak NaN into gradients of misses.
+    sqrt_d = jnp.sqrt(jnp.where(hit_any, disc, 1.0))
+
+    inv_a = 1.0 / a
+    root_near = (-half_b - sqrt_d) * inv_a
+    root_far = (-half_b + sqrt_d) * inv_a
+    near_ok = hit_any & (root_near > t_min) & (root_near < t_max)
+    far_ok = hit_any & (root_far > t_min) & (root_far < t_max)
+    # Near root wins when valid, else far root (intersect.wgsl:108-121).
+    t_all = jnp.where(near_ok, root_near, jnp.where(far_ok, root_far, t_max))
+
+    t = jnp.min(t_all, axis=-1)  # [R]
+    idx = jnp.argmin(t_all, axis=-1)  # [R] piecewise-constant
+    hit = t < t_max
+
+    center_hit = c[idx]  # [R,3]
+    radius_hit = rad[idx]  # [R]
+    material = scene.material_id[idx]  # [R]
+
+    # Sanitize miss lanes: with t == t_max ~ 1e20 the hit point would be
+    # astronomically large and every downstream op (normals, scatter) would
+    # overflow to inf/NaN — harmless in a masked forward pass but fatal to
+    # gradients (0 * NaN in the where-VJP).  Dead lanes instead report the
+    # ray origin and a fixed unit normal; the wavefront masks them out
+    # (the TPU analog of the reference's in-band dead-ray sentinel,
+    # `intersect.wgsl:154`).
+    t_safe = jnp.where(hit, t, 0.0)
+    point = o + t_safe[:, None] * d
+    # Outward normal (p - c)/r — negative radius flips it (hollow glass).
+    inv_r = 1.0 / jnp.where(radius_hit == 0.0, 1.0, radius_hit)
+    outward = (point - center_hit) * inv_r[:, None]
+    outward = jnp.where(
+        hit[:, None], outward, np.array([0.0, 0.0, 1.0], np.float32)
+    )
+    front_face = jnp.sum(d * outward, axis=-1) < 0.0
+    normal = jnp.where(front_face[:, None], outward, -outward)
+
+    return Hit(
+        t=t,
+        point=point,
+        normal=normal,
+        front_face=front_face,
+        material=material,
+        hit=hit,
+    )
