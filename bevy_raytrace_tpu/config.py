@@ -43,6 +43,14 @@ class RenderConfig:
       spp_chunk: samples traced per scan iteration (memory/throughput
         trade-off; total spp must be divisible by it).
       t_min / t_max: valid hit interval (reference `EPSILON`/`VERY_FAR`).
+      edge_softness: 0 disables (default).  > 0 enables straight-through
+        soft-silhouette gradients for inverse rendering: pixel *values* are
+        unchanged (hard visibility), but each hit contributes an extra
+        gradient term  d(sigmoid(margin/softness)) * (L_path - L_sky)
+        approximating the visibility/boundary integral that plain autodiff
+        misses (exact for silhouettes against the sky, approximate against
+        occluders).  Geometry recovery (sphere centers/radii) needs this;
+        see inverse/ and SURVEY.md §7 "hard parts".
     """
 
     width: int = 400
@@ -54,6 +62,7 @@ class RenderConfig:
     spp_chunk: int = 1
     t_min: float = EPSILON
     t_max: float = VERY_FAR
+    edge_softness: float = 0.0
 
     def __post_init__(self):
         if self.samples_per_pixel % max(self.spp_chunk, 1) != 0:

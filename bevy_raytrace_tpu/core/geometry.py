@@ -94,6 +94,18 @@ def intersect_scene(ray: Ray, scene: Scene, t_min: float, t_max: float) -> Hit:
     front_face = jnp.sum(d * outward, axis=-1) < 0.0
     normal = jnp.where(front_face[:, None], outward, -outward)
 
+    # Silhouette margin of the hit sphere: r^2 - b_perp^2 where b_perp is
+    # the perpendicular distance of the (infinite) ray line to the center.
+    # Positive inside the silhouette, zero on it; its gradient w.r.t.
+    # centers/radii is the lever for soft visibility gradients.
+    # Normalized by r^2 so it is scale-free: edge_m2 = 1 - (b_perp/r)^2.
+    oc_hit = o - center_hit
+    oc2_hit = jnp.sum(oc_hit * oc_hit, axis=-1)
+    ocd_hit = jnp.sum(oc_hit * d, axis=-1)
+    b_perp2 = oc2_hit - (ocd_hit * ocd_hit) * inv_a[:, 0]
+    r2 = jnp.maximum(radius_hit * radius_hit, 1e-12)
+    edge_m2 = jnp.where(hit, 1.0 - b_perp2 / r2, 1.0)
+
     return Hit(
         t=t,
         point=point,
@@ -101,4 +113,5 @@ def intersect_scene(ray: Ray, scene: Scene, t_min: float, t_max: float) -> Hit:
         front_face=front_face,
         material=material,
         hit=hit,
+        edge_m2=edge_m2,
     )

@@ -52,6 +52,12 @@ class Hit:
     front_face: [R]   bool, True if the ray hit the outside surface
     material:   [R]   int32 material-table index
     hit:        [R]   bool, False = miss
+    edge_m2:    [R]   silhouette margin 1 - (b_perp/r)^2 of the hit sphere
+                      (b_perp = perpendicular distance of the ray line to
+                      the center; > 0 inside the silhouette, 0 on it).
+                      Drives the optional
+                      straight-through soft-silhouette gradients
+                      (RenderConfig.edge_softness); sanitized to 1 on miss.
     """
 
     t: jnp.ndarray
@@ -60,6 +66,7 @@ class Hit:
     front_face: jnp.ndarray
     material: jnp.ndarray
     hit: jnp.ndarray
+    edge_m2: jnp.ndarray
 
 
 @pytree_dataclass

@@ -1,0 +1,7 @@
+from bevy_raytrace_tpu.inverse.loss import image_l2_loss, render_loss
+from bevy_raytrace_tpu.inverse.optimize import (
+    InverseProblem,
+    optimize,
+)
+
+__all__ = ["image_l2_loss", "render_loss", "InverseProblem", "optimize"]

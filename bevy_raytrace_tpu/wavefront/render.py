@@ -71,8 +71,20 @@ def _bounce_step(scene: Scene, config: RenderConfig, pixel_ids, sample_ids, seed
         radiance = radiance + jnp.where(add_sky, throughput * sky, 0.0)
 
         scattered = alive & hit.hit
+        attenuation_eff = attenuation
+        if config.edge_softness > 0.0:
+            # Straight-through soft silhouettes: st == 1.0 exactly in value
+            # (s - stop_grad(s) is exactly 0), so the image is bit-identical
+            # to the hard render; only gradients gain the boundary term
+            # ds * (L_path - L_sky).  See RenderConfig.edge_softness.
+            s_soft = jax.nn.sigmoid(hit.edge_m2 / config.edge_softness)
+            st = 1.0 + (s_soft - jax.lax.stop_gradient(s_soft))
+            attenuation_eff = attenuation * st[:, None]
+            radiance = radiance + jnp.where(
+                scattered[:, None], (1.0 - st)[:, None] * throughput * sky, 0.0
+            )
         throughput = jnp.where(
-            scattered[:, None], throughput * attenuation, throughput
+            scattered[:, None], throughput * attenuation_eff, throughput
         )
         alive_next = scattered & scatter_ok
 
@@ -136,9 +148,10 @@ def render(scene: Scene, camera: Camera, config: RenderConfig, frame=0):
     # Host-side scalar arithmetic when `frame` is a python int; traced when
     # the caller passes a device value (e.g. a frame counter carried on
     # device).  Either way wraps mod 2**32.
-    seed = np.uint32(config.seed) + np.uint32(FRAME_MIX) * (
-        np.uint32(frame) if isinstance(frame, int) else frame.astype(jnp.uint32)
-    )
+    with np.errstate(over="ignore"):  # uint32 wrap is intended
+        seed = np.uint32(config.seed) + np.uint32(FRAME_MIX) * (
+            np.uint32(frame) if isinstance(frame, int) else frame.astype(jnp.uint32)
+        )
 
     spp_chunk = max(config.spp_chunk, 1)
     n_sample_chunks = config.samples_per_pixel // spp_chunk
