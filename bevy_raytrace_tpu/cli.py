@@ -1,0 +1,236 @@
+"""Command-line entry points (the reference's L0 app layer, headless).
+
+The reference's `entry()` builds a windowed interactive app
+(`src/lib.rs:28-48`: 1920x1080 borderless window, WASD fly camera, ESC to
+quit).  A TPU renderer is headless: the window/input layer is replaced by
+CLI rendering with image writeback (SURVEY.md §7 checklist item 7), and
+the live-editable camera becomes the `--lookfrom/--lookat` flags plus the
+animate subcommand (per-frame camera updates through the same jitted step,
+the analog of the per-frame re-upload path).
+
+Usage:
+    python -m bevy_raytrace_tpu.cli render  --scene rtiow -o out.png
+    python -m bevy_raytrace_tpu.cli render  --scene reference --width 1920 \
+        --height 1080 --spp 1 --depth 3 -o frame.png
+    python -m bevy_raytrace_tpu.cli animate --frames 24 -o frames/
+    python -m bevy_raytrace_tpu.cli inverse --steps 200 -o recovered.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _add_render_args(p):
+    p.add_argument("--scene", default="rtiow",
+                   choices=["config1", "config2", "rtiow", "reference"])
+    p.add_argument("--width", type=int, default=1200)
+    p.add_argument("--height", type=int, default=800)
+    p.add_argument("--spp", type=int, default=64)
+    p.add_argument("--depth", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--frame", type=int, default=0)
+    p.add_argument("--spp-chunk", type=int, default=0)
+    p.add_argument("--ray-chunk", type=int, default=0)
+    p.add_argument("--lookfrom", type=float, nargs=3, default=None)
+    p.add_argument("--lookat", type=float, nargs=3, default=None)
+    p.add_argument("--vfov", type=float, default=None)
+    p.add_argument("--aperture", type=float, default=None)
+    p.add_argument("--sharded", action="store_true",
+                   help="shard pixels over all local devices")
+    p.add_argument("-o", "--output", default="render.png")
+
+
+def _build(args):
+    from bevy_raytrace_tpu import RenderConfig
+    from bevy_raytrace_tpu import scenes
+
+    spp_chunk = args.spp_chunk or (1 if args.spp == 1 else
+                                   min(4, args.spp))
+    while args.spp % spp_chunk:
+        spp_chunk -= 1
+    config = RenderConfig(
+        width=args.width, height=args.height, samples_per_pixel=args.spp,
+        max_depth=args.depth, seed=args.seed, spp_chunk=spp_chunk,
+        ray_chunk=args.ray_chunk,
+    )
+    builders = {
+        "config1": (scenes.baseline_config1_scene, scenes.baseline_config1_camera),
+        "config2": (scenes.baseline_config2_scene, scenes.baseline_config2_camera),
+        "rtiow": (lambda: scenes.rtiow_final_scene(args.seed),
+                  scenes.rtiow_final_camera),
+        "reference": (lambda: scenes.reference_scene(args.seed),
+                      scenes.rtiow_final_camera),
+    }
+    scene_fn, cam_fn = builders[args.scene]
+    scene, registry = scene_fn()
+    camera = cam_fn(config.aspect)
+    if any(v is not None for v in (args.lookfrom, args.lookat, args.vfov,
+                                   args.aperture)):
+        from bevy_raytrace_tpu.core.camera import Camera
+
+        camera = Camera.look_at(
+            lookfrom=args.lookfrom or (13.0, 2.0, 3.0),
+            lookat=args.lookat or (0.0, 0.0, 0.0),
+            vfov_deg=args.vfov if args.vfov is not None else 20.0,
+            aspect=config.aspect,
+            aperture=args.aperture if args.aperture is not None else 0.0,
+        )
+    return config, scene, camera, registry
+
+
+def _make_step(config, sharded):
+    import jax
+
+    if sharded:
+        from bevy_raytrace_tpu.shard import make_mesh, render_sharded
+
+        mesh = make_mesh()
+        print(f"mesh: {mesh}", file=sys.stderr)
+        return jax.jit(render_sharded, static_argnums=(2, 3)), (config, mesh)
+    from bevy_raytrace_tpu.wavefront.render import render
+
+    return jax.jit(render, static_argnums=2), (config,)
+
+
+def cmd_render(args):
+    import jax
+
+    from bevy_raytrace_tpu.io import write_image
+
+    config, scene, camera, _ = _build(args)
+    step, extra = _make_step(config, args.sharded)
+    t0 = time.time()
+    img = jax.block_until_ready(step(scene, camera, *extra, args.frame))
+    dt = time.time() - t0
+    rays = config.rays_per_frame
+    print(
+        f"rendered {config.width}x{config.height} x {config.samples_per_pixel}spp "
+        f"in {dt:.2f}s (compile incl.) — {rays / dt:,.0f} rays/s",
+        file=sys.stderr,
+    )
+    write_image(args.output, np.asarray(img))
+    print(args.output)
+
+
+def cmd_animate(args):
+    """Render an orbiting-camera sequence — the headless analog of the
+    reference's interactive fly camera (`src/camera.rs:39-77`): the camera
+    pytree changes every frame with zero recompilation."""
+    import jax
+
+    from bevy_raytrace_tpu.core.camera import Camera
+    from bevy_raytrace_tpu.io import write_image
+
+    config, scene, camera, _ = _build(args)
+    step, extra = _make_step(config, args.sharded)
+    os.makedirs(args.output, exist_ok=True)
+    t_first = t_rest = 0.0
+    for i in range(args.frames):
+        ang = 2.0 * np.pi * i / args.frames
+        cam = Camera.look_at(
+            lookfrom=(13.0 * np.cos(ang), 2.0, 13.0 * np.sin(ang)),
+            lookat=(0.0, 0.0, 0.0),
+            vfov_deg=20.0,
+            aspect=config.aspect,
+            aperture=0.1,
+            focus_dist=10.0,
+        )
+        t0 = time.time()
+        img = jax.block_until_ready(step(scene, cam, *extra, i))
+        dt = time.time() - t0
+        if i == 0:
+            t_first = dt
+        else:
+            t_rest += dt
+        write_image(os.path.join(args.output, f"frame_{i:04d}.png"),
+                    np.asarray(img))
+    if args.frames > 1:
+        print(
+            f"first frame {t_first:.2f}s (compile), then "
+            f"{t_rest / (args.frames - 1):.3f}s/frame "
+            f"({(args.frames - 1) * config.rays_per_frame / t_rest:,.0f} rays/s)",
+            file=sys.stderr,
+        )
+    print(args.output)
+
+
+def cmd_inverse(args):
+    """BASELINE config 4 demo: perturb the config1 scene, recover it."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from bevy_raytrace_tpu.inverse import InverseProblem, optimize
+    from bevy_raytrace_tpu.io import write_image
+    from bevy_raytrace_tpu.wavefront.render import render
+
+    args.scene = "config1"
+    config, scene_true, camera, _ = _build(args)
+    opt_config = dataclasses.replace(config, edge_softness=0.01)
+
+    target = jax.jit(render, static_argnums=2)(scene_true, camera, config, 9999)
+    mats = dataclasses.replace(
+        scene_true.materials,
+        albedo=scene_true.materials.albedo.at[1].set(
+            jnp.array([0.2, 0.8, 0.6], jnp.float32)),
+    )
+    scene_bad = dataclasses.replace(
+        scene_true,
+        materials=mats,
+        centers=scene_true.centers.at[1].add(
+            jnp.array([0.25, -0.1, 0.1], jnp.float32)),
+    )
+    problem = InverseProblem(config=opt_config, camera=camera, target=target,
+                             optimizable=("centers", "albedo"))
+    t0 = time.time()
+    result = optimize(
+        scene_bad, problem, steps=args.steps, learning_rate=args.lr,
+        checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
+        callback=lambda s, l: print(f"step {s}: loss {l:.5f}", file=sys.stderr)
+        if s % 20 == 0 else None,
+    )
+    print(f"optimized {args.steps} steps in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    print(f"recovered center: {np.asarray(result.scene.centers)[1]} "
+          f"(true {np.asarray(scene_true.centers)[1]})", file=sys.stderr)
+    print(f"recovered albedo: {np.asarray(result.scene.materials.albedo)[1]} "
+          f"(true {np.asarray(scene_true.materials.albedo)[1]})", file=sys.stderr)
+    img = jax.jit(render, static_argnums=2)(result.scene, camera, config, 0)
+    write_image(args.output, np.asarray(img))
+    print(args.output)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="bevy_raytrace_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="render one frame to an image file")
+    _add_render_args(pr)
+    pr.set_defaults(fn=cmd_render)
+
+    pa = sub.add_parser("animate", help="render an orbit sequence")
+    _add_render_args(pa)
+    pa.add_argument("--frames", type=int, default=8)
+    pa.set_defaults(fn=cmd_animate)
+
+    pi = sub.add_parser("inverse", help="inverse-rendering recovery demo")
+    _add_render_args(pi)
+    pi.add_argument("--steps", type=int, default=120)
+    pi.add_argument("--lr", type=float, default=1.5e-2)
+    pi.add_argument("--checkpoint", default=None)
+    pi.add_argument("--checkpoint-every", type=int, default=50)
+    pi.set_defaults(fn=cmd_inverse)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

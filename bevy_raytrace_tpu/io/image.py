@@ -1,0 +1,126 @@
+"""Image writeback: tone-map + PNG/PPM/EXR.
+
+The reference never persists an image — output exists only as a live
+window texture (`src/ray_trace_output.rs:65-77`; SURVEY.md §5 "images are
+never even written to disk").  Headless TPU rendering makes writeback a
+first-class feature: PNG/PPM for display (gamma-2 per RTiOW write_color),
+EXR for linear HDR.
+
+Encoding runs in the native C++ runtime when available (csrc/, loaded via
+ctypes) with a pure-Python fallback (stdlib zlib for PNG).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import struct
+import zlib
+
+import numpy as np
+
+from bevy_raytrace_tpu.io import native
+
+
+def tonemap(img) -> np.ndarray:
+    """Linear float [H,W,3] -> gamma-2 uint8 (RTiOW's sqrt write_color)."""
+    img = np.asarray(img, np.float32)
+    lib = native.load()
+    if lib is not None:
+        flat = np.ascontiguousarray(img).reshape(-1)
+        out = np.empty(flat.size, np.uint8)
+        lib.brt_tonemap_srgb(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            flat.size,
+        )
+        return out.reshape(img.shape)
+    return (np.sqrt(np.clip(img, 0.0, 1.0)) * 255.0 + 0.5).astype(np.uint8)
+
+
+def write_png(path: str, img) -> None:
+    """Write a linear float image (or uint8) as gamma-2 PNG."""
+    rgb = img if np.asarray(img).dtype == np.uint8 else tonemap(img)
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    h, w, _ = rgb.shape
+    lib = native.load()
+    if lib is not None:
+        rc = lib.brt_write_png(
+            path.encode(),
+            rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            w,
+            h,
+        )
+        if rc == 0:
+            return
+    _write_png_py(path, rgb)
+
+
+def _write_png_py(path: str, rgb: np.ndarray) -> None:
+    h, w, _ = rgb.shape
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+
+    def chunk(tag, data):
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def write_ppm(path: str, img) -> None:
+    rgb = img if np.asarray(img).dtype == np.uint8 else tonemap(img)
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    h, w, _ = rgb.shape
+    lib = native.load()
+    if lib is not None:
+        if lib.brt_write_ppm(
+            path.encode(),
+            rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            w,
+            h,
+        ) == 0:
+            return
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n255\n" % (w, h))
+        f.write(rgb.tobytes())
+
+
+def write_exr(path: str, img) -> None:
+    """Write linear float32 HDR as minimal uncompressed EXR (native only)."""
+    img = np.ascontiguousarray(np.asarray(img, np.float32))
+    h, w, _ = img.shape
+    lib = native.load()
+    if lib is None:
+        raise RuntimeError(
+            "EXR writeback requires the native library (make -C csrc)"
+        )
+    rc = lib.brt_write_exr(
+        path.encode(),
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        w,
+        h,
+    )
+    if rc != 0:
+        raise IOError(f"brt_write_exr failed with {rc}")
+
+
+def write_image(path: str, img) -> None:
+    """Dispatch on extension: .png / .ppm / .exr."""
+    low = path.lower()
+    if low.endswith(".png"):
+        write_png(path, img)
+    elif low.endswith(".ppm"):
+        write_ppm(path, img)
+    elif low.endswith(".exr"):
+        write_exr(path, img)
+    else:
+        raise ValueError(f"unsupported image extension: {path}")

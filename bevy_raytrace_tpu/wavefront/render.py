@@ -135,16 +135,22 @@ def trace_paths(scene, camera, config, pixel_ids, sample_ids, seed):
     return radiance
 
 
-def render(scene: Scene, camera: Camera, config: RenderConfig, frame=0):
-    """Render one frame -> linear float32 image [height, width, 3].
+def render_pixel_range(
+    scene: Scene,
+    camera: Camera,
+    config: RenderConfig,
+    pixel_start,
+    num_local: int,
+    frame=0,
+):
+    """Render `num_local` consecutive pixels starting at absolute pixel id
+    `pixel_start` -> flat [num_local, 3] framebuffer slice.
 
-    `scene` and `camera` are traced pytree arguments: editing them between
-    calls costs nothing (the TPU-native form of the reference's per-frame
-    re-upload path, `src/sphere.rs:180-197`, `src/ray_trace_camera.rs:43-68`).
-    `frame` decorrelates sampling across frames.  Jit with config static:
-    `jax.jit(render, static_argnums=2)` or use `make_renderer`.
+    `pixel_start` may be a traced value (a mesh `axis_index` offset inside
+    shard_map): RNG counters key on *absolute* pixel ids, so any
+    partitioning of the wavefront produces bit-identical pixels
+    (SURVEY.md §7: same RNG stream regardless of mesh shape).
     """
-    num_pixels = config.num_pixels
     # Host-side scalar arithmetic when `frame` is a python int; traced when
     # the caller passes a device value (e.g. a frame counter carried on
     # device).  Either way wraps mod 2**32.
@@ -155,15 +161,19 @@ def render(scene: Scene, camera: Camera, config: RenderConfig, frame=0):
 
     spp_chunk = max(config.spp_chunk, 1)
     n_sample_chunks = config.samples_per_pixel // spp_chunk
-    ray_chunk = config.ray_chunk or num_pixels
-    n_ray_chunks = num_pixels // ray_chunk
+    ray_chunk = config.ray_chunk or num_local
+    if num_local % ray_chunk != 0:
+        ray_chunk = num_local
+    n_ray_chunks = num_local // ray_chunk
 
-    # Pixel/sample id plumbing stays numpy: it is static per config, and
-    # numpy constants embed into the lowered program without a device
-    # round-trip.
-    pixel_chunks = np.arange(num_pixels, dtype=np.uint32).reshape(
-        n_ray_chunks, ray_chunk
-    )
+    # Pixel/sample id plumbing stays numpy when pixel_start is static: it
+    # then embeds into the lowered program without a device round-trip.
+    local_ids = np.arange(num_local, dtype=np.uint32)
+    if isinstance(pixel_start, (int, np.integer)):
+        pixel_ids = local_ids + np.uint32(pixel_start)
+    else:
+        pixel_ids = pixel_start.astype(jnp.uint32) + local_ids
+    pixel_chunks = pixel_ids.reshape(n_ray_chunks, ray_chunk)
     sample_offsets = np.repeat(
         np.arange(spp_chunk, dtype=np.uint32), ray_chunk
     )  # [spp_chunk * ray_chunk]
@@ -181,7 +191,7 @@ def render(scene: Scene, camera: Camera, config: RenderConfig, frame=0):
 
         if n_ray_chunks == 1:
             return per_ray_chunk(pixel_chunks[0])
-        return jax.lax.map(per_ray_chunk, pixel_chunks).reshape(num_pixels, 3)
+        return jax.lax.map(per_ray_chunk, pixel_chunks).reshape(num_local, 3)
 
     def spp_body(fb_sum, sample_base):
         return fb_sum + render_sample_chunk(sample_base), None
@@ -191,12 +201,24 @@ def render(scene: Scene, camera: Camera, config: RenderConfig, frame=0):
     else:
         fb_sum, _ = jax.lax.scan(
             spp_body,
-            jnp.zeros((num_pixels, 3), jnp.float32),
+            jnp.zeros((num_local, 3), jnp.float32),
             np.arange(n_sample_chunks, dtype=np.uint32) * np.uint32(spp_chunk),
         )
 
-    image = fb_sum / np.float32(config.samples_per_pixel)
-    return image.reshape(config.height, config.width, 3)
+    return fb_sum / np.float32(config.samples_per_pixel)
+
+
+def render(scene: Scene, camera: Camera, config: RenderConfig, frame=0):
+    """Render one frame -> linear float32 image [height, width, 3].
+
+    `scene` and `camera` are traced pytree arguments: editing them between
+    calls costs nothing (the TPU-native form of the reference's per-frame
+    re-upload path, `src/sphere.rs:180-197`, `src/ray_trace_camera.rs:43-68`).
+    `frame` decorrelates sampling across frames.  Jit with config static:
+    `jax.jit(render, static_argnums=2)` or use `make_renderer`.
+    """
+    fb = render_pixel_range(scene, camera, config, 0, config.num_pixels, frame)
+    return fb.reshape(config.height, config.width, 3)
 
 
 def make_renderer(config: RenderConfig, donate: bool = False):

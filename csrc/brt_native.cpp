@@ -1,0 +1,248 @@
+// brt_native: native runtime support for bevy_raytrace_tpu.
+//
+// The reference's host-side runtime is Rust (buffer marshalling, window
+// output, `src/ray_trace_output.rs`); this framework's host runtime is
+// C++: the image-writeback path (tone-map + encode) and multi-host tile
+// assembly run natively, called from Python via ctypes (io/native.py).
+//
+// Components:
+//   brt_tonemap_srgb   : linear f32 RGB -> gamma-2 u8 (RTiOW write_color's
+//                        sqrt gamma), vectorizable tight loop.
+//   brt_write_png      : dependency-free PNG encoder (stored deflate
+//                        blocks + zlib/adler32 + CRC32) — no libpng/zlib.
+//   brt_write_ppm      : binary P6 PPM.
+//   brt_write_exr      : minimal OpenEXR 2.0 writer, single part,
+//                        uncompressed float32 scanlines (linear HDR).
+//   brt_assemble_tiles : gather per-host/pixel-stripe framebuffer tiles
+//                        into a full image (the multi-host IO path).
+//
+// Build: `make -C csrc` -> build/libbrt_native.so (see csrc/Makefile).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cmath>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------- tonemap
+
+// linear f32 [h*w*3] -> u8 [h*w*3] with gamma 2.0 (RTiOW sqrt).
+void brt_tonemap_srgb(const float* src, uint8_t* dst, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    float v = src[i];
+    v = v < 0.f ? 0.f : (v > 1.f ? 1.f : v);
+    v = sqrtf(v);
+    int iv = (int)(v * 255.0f + 0.5f);
+    dst[i] = (uint8_t)(iv > 255 ? 255 : iv);
+  }
+}
+
+// ------------------------------------------------------------------- CRC
+
+static uint32_t crc_table[256];
+static bool crc_init_done = false;
+
+static void crc_init() {
+  for (uint32_t n = 0; n < 256; n++) {
+    uint32_t c = n;
+    for (int k = 0; k < 8; k++)
+      c = (c & 1) ? 0xedb88320u ^ (c >> 1) : c >> 1;
+    crc_table[n] = c;
+  }
+  crc_init_done = true;
+}
+
+static uint32_t crc32_update(uint32_t crc, const uint8_t* buf, size_t len) {
+  if (!crc_init_done) crc_init();
+  uint32_t c = crc ^ 0xffffffffu;
+  for (size_t i = 0; i < len; i++)
+    c = crc_table[(c ^ buf[i]) & 0xff] ^ (c >> 8);
+  return c ^ 0xffffffffu;
+}
+
+// ------------------------------------------------------------------- PNG
+
+static void put_u32_be(std::vector<uint8_t>& v, uint32_t x) {
+  v.push_back((x >> 24) & 0xff);
+  v.push_back((x >> 16) & 0xff);
+  v.push_back((x >> 8) & 0xff);
+  v.push_back(x & 0xff);
+}
+
+static void png_chunk(std::vector<uint8_t>& out, const char* tag,
+                      const uint8_t* data, size_t len) {
+  put_u32_be(out, (uint32_t)len);
+  size_t start = out.size();
+  out.insert(out.end(), tag, tag + 4);
+  out.insert(out.end(), data, data + len);
+  uint32_t crc = crc32_update(0, out.data() + start, len + 4);
+  put_u32_be(out, crc);
+}
+
+// rgb8 [h][w][3] -> PNG file.  Returns 0 on success.
+// Deflate payload uses stored (uncompressed) blocks: encoder stays
+// dependency-free; renders are noise-like so entropy coding gains little.
+int brt_write_png(const char* path, const uint8_t* rgb, int w, int h) {
+  std::vector<uint8_t> raw;  // filtered scanlines: filter byte 0 + row
+  raw.reserve((size_t)h * (w * 3 + 1));
+  for (int y = 0; y < h; y++) {
+    raw.push_back(0);
+    raw.insert(raw.end(), rgb + (size_t)y * w * 3, rgb + (size_t)(y + 1) * w * 3);
+  }
+
+  // zlib stream: header + stored deflate blocks + adler32.
+  std::vector<uint8_t> z;
+  z.push_back(0x78);
+  z.push_back(0x01);
+  size_t pos = 0;
+  while (pos < raw.size()) {
+    size_t block = raw.size() - pos;
+    if (block > 65535) block = 65535;
+    bool final = (pos + block == raw.size());
+    z.push_back(final ? 1 : 0);
+    z.push_back(block & 0xff);
+    z.push_back((block >> 8) & 0xff);
+    z.push_back(~block & 0xff);
+    z.push_back((~block >> 8) & 0xff);
+    z.insert(z.end(), raw.begin() + pos, raw.begin() + pos + block);
+    pos += block;
+  }
+  uint32_t a = 1, b = 0;  // adler32
+  for (uint8_t c : raw) {
+    a = (a + c) % 65521;
+    b = (b + a) % 65521;
+  }
+  put_u32_be(z, (b << 16) | a);
+
+  std::vector<uint8_t> out;
+  const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  out.insert(out.end(), sig, sig + 8);
+  uint8_t ihdr[13];
+  ihdr[0] = (w >> 24) & 0xff; ihdr[1] = (w >> 16) & 0xff;
+  ihdr[2] = (w >> 8) & 0xff;  ihdr[3] = w & 0xff;
+  ihdr[4] = (h >> 24) & 0xff; ihdr[5] = (h >> 16) & 0xff;
+  ihdr[6] = (h >> 8) & 0xff;  ihdr[7] = h & 0xff;
+  ihdr[8] = 8;   // bit depth
+  ihdr[9] = 2;   // color type RGB
+  ihdr[10] = 0; ihdr[11] = 0; ihdr[12] = 0;
+  png_chunk(out, "IHDR", ihdr, 13);
+  png_chunk(out, "IDAT", z.data(), z.size());
+  png_chunk(out, "IEND", nullptr, 0);
+
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  size_t n = fwrite(out.data(), 1, out.size(), f);
+  fclose(f);
+  return n == out.size() ? 0 : -2;
+}
+
+// ------------------------------------------------------------------- PPM
+
+int brt_write_ppm(const char* path, const uint8_t* rgb, int w, int h) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  fprintf(f, "P6\n%d %d\n255\n", w, h);
+  size_t n = fwrite(rgb, 1, (size_t)w * h * 3, f);
+  fclose(f);
+  return n == (size_t)w * h * 3 ? 0 : -2;
+}
+
+// ------------------------------------------------------------------- EXR
+
+static void put_bytes(std::vector<uint8_t>& v, const void* p, size_t n) {
+  const uint8_t* b = (const uint8_t*)p;
+  v.insert(v.end(), b, b + n);
+}
+
+// little-endian host assumed (x86/arm)
+static void put_i32(std::vector<uint8_t>& v, int32_t x) { put_bytes(v, &x, 4); }
+static void put_u32(std::vector<uint8_t>& v, uint32_t x) { put_bytes(v, &x, 4); }
+static void put_u64(std::vector<uint8_t>& v, uint64_t x) { put_bytes(v, &x, 8); }
+static void put_f32(std::vector<uint8_t>& v, float x) { put_bytes(v, &x, 4); }
+
+static void put_str(std::vector<uint8_t>& v, const char* s) {
+  put_bytes(v, s, strlen(s) + 1);
+}
+
+static void exr_attr(std::vector<uint8_t>& v, const char* name,
+                     const char* type, const void* data, int32_t size) {
+  put_str(v, name);
+  put_str(v, type);
+  put_i32(v, size);
+  put_bytes(v, data, size);
+}
+
+// linear f32 rgb [h][w][3] -> minimal single-part uncompressed EXR.
+int brt_write_exr(const char* path, const float* rgb, int w, int h) {
+  std::vector<uint8_t> out;
+  put_u32(out, 20000630u);  // magic
+  put_u32(out, 2u);         // version 2, no flags
+
+  // channel list: B, G, R (alphabetical), each float (type 2).
+  std::vector<uint8_t> chl;
+  for (const char* cn : {"B", "G", "R"}) {
+    put_str(chl, cn);
+    put_i32(chl, 2);  // pixel type float
+    put_u32(chl, 0); // pLinear + reserved
+    put_i32(chl, 1);  // xSampling
+    put_i32(chl, 1);  // ySampling
+  }
+  chl.push_back(0);  // end of channel list
+  exr_attr(out, "channels", "chlist", chl.data(), (int32_t)chl.size());
+
+  uint8_t comp = 0;  // no compression
+  exr_attr(out, "compression", "compression", &comp, 1);
+  int32_t dw[4] = {0, 0, w - 1, h - 1};
+  exr_attr(out, "dataWindow", "box2i", dw, 16);
+  exr_attr(out, "displayWindow", "box2i", dw, 16);
+  uint8_t order = 0;  // increasing y
+  exr_attr(out, "lineOrder", "lineOrder", &order, 1);
+  float par = 1.0f;
+  exr_attr(out, "pixelAspectRatio", "float", &par, 4);
+  float swc[2] = {0.f, 0.f};
+  exr_attr(out, "screenWindowCenter", "v2f", swc, 8);
+  float sww = 1.0f;
+  exr_attr(out, "screenWindowWidth", "float", &sww, 4);
+  out.push_back(0);  // end of header
+
+  // scanline offset table (h entries) then chunks.
+  size_t table_pos = out.size();
+  for (int y = 0; y < h; y++) put_u64(out, 0);
+
+  std::vector<uint64_t> offsets(h);
+  for (int y = 0; y < h; y++) {
+    offsets[y] = out.size();
+    put_i32(out, y);
+    put_i32(out, w * 3 * 4);
+    // planar by channel, B then G then R.
+    for (int c : {2, 1, 0}) {
+      for (int x = 0; x < w; x++) {
+        put_f32(out, rgb[((size_t)y * w + x) * 3 + c]);
+      }
+    }
+  }
+  for (int y = 0; y < h; y++) {
+    memcpy(out.data() + table_pos + (size_t)y * 8, &offsets[y], 8);
+  }
+
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  size_t n = fwrite(out.data(), 1, out.size(), f);
+  fclose(f);
+  return n == out.size() ? 0 : -2;
+}
+
+// --------------------------------------------------------- tile assembly
+
+// Gather per-device pixel stripes into the full flat framebuffer.
+// tiles: [n_tiles][tile_pixels*3] float; starts: absolute pixel offsets.
+void brt_assemble_tiles(const float* const* tiles, const int64_t* starts,
+                        const int64_t* sizes, int n_tiles, float* dst) {
+  for (int t = 0; t < n_tiles; ++t) {
+    memcpy(dst + starts[t] * 3, tiles[t], (size_t)sizes[t] * 3 * sizeof(float));
+  }
+}
+
+}  // extern "C"
