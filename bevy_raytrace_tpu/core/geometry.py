@@ -29,6 +29,7 @@ poison gradients with NaNs.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from bevy_raytrace_tpu.core.types import Hit, Ray, Scene
@@ -44,9 +45,14 @@ def intersect_scene(ray: Ray, scene: Scene, t_min: float, t_max: float) -> Hit:
     c = scene.centers  # [N,3]
     rad = scene.radii  # [N]
 
-    # MXU-friendly inner products.
-    d_dot_c = d @ c.T  # [R,N]
-    o_dot_c = o @ c.T  # [R,N]
+    # MXU-friendly inner products.  precision=HIGHEST forces true-f32
+    # multiplication: TPU matmuls default to bf16 inputs, whose ~8 lost
+    # mantissa bits put 1e-2-scale errors on hit distances (measured as
+    # 28% of pixels off vs the exact-f32 Pallas kernel).  K=3, so the
+    # extra MXU passes are free.
+    highest = jax.lax.Precision.HIGHEST
+    d_dot_c = jnp.matmul(d, c.T, precision=highest)  # [R,N]
+    o_dot_c = jnp.matmul(o, c.T, precision=highest)  # [R,N]
     o_dot_d = jnp.sum(o * d, axis=-1, keepdims=True)  # [R,1]
     o2 = jnp.sum(o * o, axis=-1, keepdims=True)  # [R,1]
     a = jnp.sum(d * d, axis=-1, keepdims=True)  # [R,1] (1 for unit dirs)

@@ -1,0 +1,399 @@
+"""Fused whole-frame path-trace kernel (Pallas TPU).
+
+Where the reference records six separate compute dispatches per frame with
+all per-ray state round-tripping a storage buffer between them
+(`src/ray_trace_node.rs:204-220`), this kernel fuses the ENTIRE trace —
+camera ray generation, every (intersect -> shade) bounce round, and the
+sample accumulation — into one Pallas program per pixel tile.  Per-ray
+state lives in vector registers / VMEM for the whole path; the only HBM
+traffic is the final framebuffer accumulation.  The XLA path
+(wavefront/render.py) streams a [rays, spheres] workspace through HBM per
+bounce; eliminating that is worth ~an order of magnitude on a v5e
+(measured in BENCH logs).
+
+Layout: rays live on the native (sublane, lane) grid — a tile is
+(TILE_ROWS, 128) pixels, every per-ray quantity (origin/dir components,
+throughput, radiance, masks) is one f32 vreg array of that shape, so all
+shading math is perfectly lane-parallel VPU work.  The sphere loop is the
+reference's brute-force linear scan (`intersect.wgsl:132-143`) as a
+`fori_loop` over scalars held in SMEM, broadcasting each sphere against
+the whole ray tile; nearest-hit state (t, center, inv radius, material
+attributes) is tracked with vector selects, so no gather is ever needed.
+
+Grid: (tiles, spp).  spp is the innermost dimension and maps to the same
+output block, so sample accumulation happens in VMEM across grid steps
+(init on s == 0).
+
+RNG: identical PCG4D counters as the jnp wavefront path (absolute pixel
+id, sample id, bounce stream) — images agree with `wavefront.render` to
+f32 transcendental tolerance, and are sharding/tiling independent.
+
+Forward-only: gradients use the XLA path (with remat); SURVEY.md §7
+"Pallas + autodiff" records this as the accepted trade.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bevy_raytrace_tpu.config import RenderConfig
+from bevy_raytrace_tpu.wavefront.render import CAMERA_STREAM, FRAME_MIX
+
+TILE_ROWS = 32  # rays per tile = TILE_ROWS * 128
+_TWO_PI = np.float32(2.0 * np.pi)
+_INV24 = np.float32(1.0 / 16777216.0)
+
+
+@np.errstate(over="ignore")  # uint32 wrap intended for host-scalar streams
+def _pcg4d(x, y, z, w):
+    mul = np.uint32(1664525)
+    add = np.uint32(1013904223)
+    x = x * mul + add
+    y = y * mul + add
+    z = z * mul + add
+    w = w * mul + add
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    x = x ^ (x >> 16)
+    y = y ^ (y >> 16)
+    z = z ^ (z >> 16)
+    w = w ^ (w >> 16)
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    return x, y, z, w
+
+
+def _to_unit(bits):
+    # Mosaic has no uint32->f32 cast; the top-24-bit value fits int32.
+    return (bits >> np.uint32(8)).astype(jnp.int32).astype(jnp.float32) * _INV24
+
+
+def _rsqrt_guard(n2):
+    return jax.lax.rsqrt(jnp.maximum(n2, 1e-20))
+
+
+def _cbrt(v):
+    # positive-domain cube root; exp/log keeps Mosaic-portable.
+    return jnp.where(
+        v < 1e-30, 0.0, jnp.exp(jnp.log(jnp.maximum(v, 1e-30)) * (1.0 / 3.0))
+    )
+
+
+def _make_kernel(config: RenderConfig, n_spheres: int):
+    width = np.float32(config.width)
+    height = np.float32(config.height)
+    t_min = np.float32(config.t_min)
+    t_max = np.float32(config.t_max)
+    max_depth = config.max_depth
+
+    def kernel(geom_ref, mat_ref, cam_ref, seed_ref, fb_r, fb_g, fb_b):
+        tile = pl.program_id(0)
+        s = pl.program_id(1)
+        sample = s.astype(jnp.uint32)
+        seed = seed_ref[0]
+
+        shape = (TILE_ROWS, 128)
+        row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+        pid = (
+            tile.astype(jnp.uint32) * np.uint32(TILE_ROWS * 128)
+            + row * np.uint32(128)
+            + lane
+        )
+
+        # ---- camera ray generation (generate.wgsl analog) --------------
+        ca, cb, cc, cd = _pcg4d(pid, sample, np.uint32(CAMERA_STREAM), seed)
+        cu1, cu2, cu3, cu4 = _to_unit(ca), _to_unit(cb), _to_unit(cc), _to_unit(cd)
+
+        # Pixel coords via f32 math (integer div/mod are not Mosaic-friendly;
+        # pid < 2^24 so the f32 round trip is exact).
+        pid_f = pid.astype(jnp.int32).astype(jnp.float32)
+        py = jnp.floor(pid_f / width)
+        px = pid_f - py * width
+        s_im = (px + cu1) / width
+        t_im = 1.0 - (py + cu2) / height
+
+        cox, coy, coz = cam_ref[0], cam_ref[1], cam_ref[2]
+        ux, uy, uz = cam_ref[3], cam_ref[4], cam_ref[5]
+        vx, vy, vz = cam_ref[6], cam_ref[7], cam_ref[8]
+        wx, wy, wz = cam_ref[9], cam_ref[10], cam_ref[11]
+        half_w, half_h = cam_ref[12], cam_ref[13]
+        lens_r, focus = cam_ref[14], cam_ref[15]
+
+        ru = jnp.sqrt(cu3)
+        phi = _TWO_PI * cu4
+        du = ru * jnp.cos(phi) * lens_r
+        dv = ru * jnp.sin(phi) * lens_r
+        ox = cox + du * ux + dv * vx
+        oy = coy + du * uy + dv * vy
+        oz = coz + du * uz + dv * vz
+
+        su = (2.0 * s_im - 1.0) * half_w * focus
+        tv = (2.0 * t_im - 1.0) * half_h * focus
+        tx = cox - focus * wx + su * ux + tv * vx - ox
+        ty = coy - focus * wy + su * uy + tv * vy - oy
+        tz = coz - focus * wz + su * uz + tv * vz - oz
+        inv = _rsqrt_guard(tx * tx + ty * ty + tz * tz)
+        dx, dy, dz = tx * inv, ty * inv, tz * inv
+
+        one = jnp.ones(shape, jnp.float32)
+        zero = jnp.zeros(shape, jnp.float32)
+        tp_r, tp_g, tp_b = one, one, one
+        rad_r, rad_g, rad_b = zero, zero, zero
+        alive = jnp.ones(shape, bool)
+
+        for bounce in range(max_depth):
+            # ---- intersect: brute-force nearest hit --------------------
+            def sphere_body(n, carry):
+                (bt, bcx, bcy, bcz, binv, bar, bag, bab, bkd, bfz, bio) = carry
+                cx = geom_ref[0, n]
+                cy = geom_ref[1, n]
+                cz = geom_ref[2, n]
+                r2 = geom_ref[3, n]
+                ivr = geom_ref[4, n]
+                ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                half_b = ocx * dx + ocy * dy + ocz * dz
+                cq = ocx * ocx + ocy * ocy + ocz * ocz - r2
+                disc = half_b * half_b - cq
+                hitm = disc > 0.0
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                rn = -half_b - sq
+                rf = -half_b + sq
+                near_ok = hitm & (rn > t_min) & (rn < bt)
+                far_ok = hitm & (rf > t_min) & (rf < bt)
+                tn = jnp.where(near_ok, rn, jnp.where(far_ok, rf, t_max))
+                better = tn < bt
+                bt = jnp.where(better, tn, bt)
+                bcx = jnp.where(better, cx, bcx)
+                bcy = jnp.where(better, cy, bcy)
+                bcz = jnp.where(better, cz, bcz)
+                binv = jnp.where(better, ivr, binv)
+                bar = jnp.where(better, mat_ref[0, n], bar)
+                bag = jnp.where(better, mat_ref[1, n], bag)
+                bab = jnp.where(better, mat_ref[2, n], bab)
+                bkd = jnp.where(better, mat_ref[3, n], bkd)
+                bfz = jnp.where(better, mat_ref[4, n], bfz)
+                bio = jnp.where(better, mat_ref[5, n], bio)
+                return (bt, bcx, bcy, bcz, binv, bar, bag, bab, bkd, bfz, bio)
+
+            init = (
+                jnp.full(shape, t_max, jnp.float32),
+                zero, zero, zero, one,
+                zero, zero, zero, zero, zero, one,
+            )
+            (bt, bcx, bcy, bcz, binv, bar, bag, bab, bkd, bfz, bio) = (
+                jax.lax.fori_loop(0, n_spheres, sphere_body, init)
+            )
+
+            hit = bt < t_max
+            t_safe = jnp.where(hit, bt, 0.0)
+            hx = ox + t_safe * dx
+            hy = oy + t_safe * dy
+            hz = oz + t_safe * dz
+            nx = jnp.where(hit, (hx - bcx) * binv, 0.0)
+            ny = jnp.where(hit, (hy - bcy) * binv, 0.0)
+            nz = jnp.where(hit, (hz - bcz) * binv, 1.0)
+            front = (dx * nx + dy * ny + dz * nz) < 0.0
+            sgn = jnp.where(front, 1.0, -1.0)
+            nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+
+            # ---- shade (shade.wgsl analog) -----------------------------
+            ba, bb, bc2, bd = _pcg4d(
+                pid, sample, jnp.uint32(bounce), seed
+            )
+            u1, u2, u3, u4 = _to_unit(ba), _to_unit(bb), _to_unit(bc2), _to_unit(bd)
+
+            # unit sphere sample
+            zs = 1.0 - 2.0 * u1
+            rs = jnp.sqrt(jnp.maximum(0.0, 1.0 - zs * zs))
+            ph = _TWO_PI * u2
+            rux = rs * jnp.cos(ph)
+            ruy = rs * jnp.sin(ph)
+            ruz = zs
+
+            # lambertian
+            lx, ly, lz = nx + rux, ny + ruy, nz + ruz
+            lam_deg = (jnp.abs(lx) + jnp.abs(ly) + jnp.abs(lz)) < 1e-8
+            lx = jnp.where(lam_deg, nx, lx)
+            ly = jnp.where(lam_deg, ny, ly)
+            lz = jnp.where(lam_deg, nz, lz)
+            linv = _rsqrt_guard(lx * lx + ly * ly + lz * lz)
+            lx, ly, lz = lx * linv, ly * linv, lz * linv
+
+            # metal
+            ddn = dx * nx + dy * ny + dz * nz
+            rx = dx - 2.0 * ddn * nx
+            ry = dy - 2.0 * ddn * ny
+            rz = dz - 2.0 * ddn * nz
+            fz = bfz * _cbrt(u3)
+            mx, my, mz = rx + fz * rux, ry + fz * ruy, rz + fz * ruz
+            minv = _rsqrt_guard(mx * mx + my * my + mz * mz)
+            mx, my, mz = mx * minv, my * minv, mz * minv
+            met_ok = (mx * nx + my * ny + mz * nz) > 0.0
+
+            # dielectric
+            ratio = jnp.where(front, 1.0 / bio, bio)
+            cos_t = jnp.minimum(-(dx * nx + dy * ny + dz * nz), 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+            cannot = ratio * sin_t > 1.0
+            r0 = (1.0 - ratio) / (1.0 + ratio)
+            r0 = r0 * r0
+            m1 = 1.0 - cos_t
+            m2 = m1 * m1
+            schlick = r0 + (1.0 - r0) * (m2 * m2 * m1)
+            use_refl = cannot | (schlick > u4)
+            ppx = ratio * (dx + cos_t * nx)
+            ppy = ratio * (dy + cos_t * ny)
+            ppz = ratio * (dz + cos_t * nz)
+            kk = jnp.abs(1.0 - (ppx * ppx + ppy * ppy + ppz * ppz))
+            sqk = jnp.sqrt(kk)
+            gx = ppx - sqk * nx
+            gy = ppy - sqk * ny
+            gz = ppz - sqk * nz
+            ex = jnp.where(use_refl, rx, gx)
+            ey = jnp.where(use_refl, ry, gy)
+            ez = jnp.where(use_refl, rz, gz)
+            einv = _rsqrt_guard(ex * ex + ey * ey + ez * ez)
+            ex, ey, ez = ex * einv, ey * einv, ez * einv
+
+            # select by material kind (0 lam, 1 metal, 2 dielectric)
+            is_lam = bkd < 0.5
+            is_met = (bkd > 0.5) & (bkd < 1.5)
+            is_die = bkd > 1.5
+            sx = jnp.where(is_lam, lx, jnp.where(is_met, mx, ex))
+            sy = jnp.where(is_lam, ly, jnp.where(is_met, my, ey))
+            sz = jnp.where(is_lam, lz, jnp.where(is_met, mz, ez))
+            at_r = jnp.where(is_die, 1.0, bar)
+            at_g = jnp.where(is_die, 1.0, bag)
+            at_b = jnp.where(is_die, 1.0, bab)
+            # bool select via logic ops (Mosaic rejects i1 selects).
+            scat_ok = (~is_met) | met_ok
+
+            # sky on miss
+            tsky = 0.5 * (dy + 1.0)
+            sk_r = 1.0 - 0.5 * tsky
+            sk_g = 1.0 - 0.3 * tsky
+            sk_b = 1.0  # (1-t)*1 + t*1.0
+            add = alive & ~hit
+            rad_r = rad_r + jnp.where(add, tp_r * sk_r, 0.0)
+            rad_g = rad_g + jnp.where(add, tp_g * sk_g, 0.0)
+            rad_b = rad_b + jnp.where(add, tp_b * sk_b, 0.0)
+
+            scat = alive & hit
+            tp_r = jnp.where(scat, tp_r * at_r, tp_r)
+            tp_g = jnp.where(scat, tp_g * at_g, tp_g)
+            tp_b = jnp.where(scat, tp_b * at_b, tp_b)
+            alive = scat & scat_ok
+
+            ox = jnp.where(alive, hx, ox)
+            oy = jnp.where(alive, hy, oy)
+            oz = jnp.where(alive, hz, oz)
+            dx = jnp.where(alive, sx, dx)
+            dy = jnp.where(alive, sy, dy)
+            dz = jnp.where(alive, sz, dz)
+
+        # ---- accumulate into the framebuffer block ---------------------
+        @pl.when(s == 0)
+        def _():
+            fb_r[:] = rad_r
+            fb_g[:] = rad_g
+            fb_b[:] = rad_b
+
+        @pl.when(s != 0)
+        def _():
+            fb_r[:] = fb_r[:] + rad_r
+            fb_g[:] = fb_g[:] + rad_g
+            fb_b[:] = fb_b[:] + rad_b
+
+    return kernel
+
+
+def render_pallas(
+    scene, camera, config: RenderConfig, frame=0, interpret: bool = False
+):
+    """Drop-in replacement for wavefront.render on the forward path.
+
+    Returns linear float32 [H, W, 3]; agrees with the XLA path to f32
+    tolerance (identical RNG counters, same math, different transcendental
+    codegen).
+    """
+    n = scene.count
+    num_pixels = config.num_pixels
+    tile_px = TILE_ROWS * 128
+    n_tiles = -(-num_pixels // tile_px)
+    p_pad = n_tiles * tile_px
+
+    # Scene -> SMEM layouts.  inv_r keeps the sign of the radius (negative
+    # radius = inward normal, the hollow-glass trick); r2 is sign-free.
+    radii = scene.radii
+    geom = jnp.stack(
+        [
+            scene.centers[:, 0],
+            scene.centers[:, 1],
+            scene.centers[:, 2],
+            radii * radii,
+            1.0 / radii,
+        ]
+    )  # [5, N]
+    m = scene.materials
+    albedo = m.albedo[scene.material_id]  # flatten per sphere
+    mats = jnp.stack(
+        [
+            albedo[:, 0],
+            albedo[:, 1],
+            albedo[:, 2],
+            m.kind[scene.material_id].astype(jnp.float32),
+            m.fuzz[scene.material_id],
+            m.ior[scene.material_id],
+        ]
+    )  # [6, N]
+    cam = jnp.concatenate(
+        [
+            camera.origin.reshape(-1),
+            camera.u.reshape(-1),
+            camera.v.reshape(-1),
+            camera.w.reshape(-1),
+            camera.half_width.reshape(-1),
+            camera.half_height.reshape(-1),
+            camera.lens_radius.reshape(-1),
+            camera.focus_dist.reshape(-1),
+        ]
+    ).astype(jnp.float32)  # [16]
+
+    with np.errstate(over="ignore"):
+        seed = np.uint32(config.seed) + np.uint32(FRAME_MIX) * (
+            np.uint32(frame) if isinstance(frame, int) else frame.astype(jnp.uint32)
+        )
+    seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1)
+
+    kernel = _make_kernel(config, n)
+    out_shape = jax.ShapeDtypeStruct((p_pad // 128, 128), jnp.float32)
+    fb_spec = pl.BlockSpec(
+        (TILE_ROWS, 128), lambda t, s: (t, 0), memory_space=pltpu.VMEM
+    )
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+
+    fb_r, fb_g, fb_b = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, config.samples_per_pixel),
+        in_specs=[smem(), smem(), smem(), smem()],
+        out_specs=(fb_spec, fb_spec, fb_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=interpret,
+    )(geom, mats, cam, seed_arr)
+
+    fb = jnp.stack(
+        [fb_r.reshape(-1), fb_g.reshape(-1), fb_b.reshape(-1)], axis=-1
+    )
+    fb = fb[:num_pixels] / np.float32(config.samples_per_pixel)
+    return fb.reshape(config.height, config.width, 3)
