@@ -12,13 +12,23 @@ bounce; eliminating that is worth ~an order of magnitude on a v5e
 (measured in BENCH logs).
 
 Layout: rays live on the native (sublane, lane) grid — a tile is
-(TILE_ROWS, 128) pixels, every per-ray quantity (origin/dir components,
+(tile_rows, 128) pixels, every per-ray quantity (origin/dir components,
 throughput, radiance, masks) is one f32 vreg array of that shape, so all
 shading math is perfectly lane-parallel VPU work.  The sphere loop is the
-reference's brute-force linear scan (`intersect.wgsl:132-143`) as a
-`fori_loop` over scalars held in SMEM, broadcasting each sphere against
-the whole ray tile; nearest-hit state (t, center, inv radius, material
-attributes) is tracked with vector selects, so no gather is ever needed.
+reference's brute-force linear scan (`intersect.wgsl:132-143`) as an
+unrolled `fori_loop` over scalars held in SMEM, broadcasting each sphere
+against the whole ray tile; nearest-hit state (t, center, inv radius,
+material attributes) is tracked with vector selects, so no gather is ever
+needed.
+
+Performance structure (v5e measurements in git log / BENCH files):
+- `tile_rows` controls how much vector work amortizes each scalar-loop
+  iteration (SMEM loads + bookkeeping run on the scalar core).
+- the sphere loop is unrolled `unroll`-wide (spheres padded with r2 = -1
+  duds) to keep the VPU fed between scalar-loop bookkeeping;
+- after each bounce a whole-tile `lax.cond` skips the remaining rounds
+  once every lane is dead (sky tiles die at bounce 0-1; the reference
+  instead early-outs per thread, `intersect.wgsl:154`).
 
 Grid: (tiles, spp).  spp is the innermost dimension and maps to the same
 output block, so sample accumulation happens in VMEM across grid steps
@@ -30,6 +40,12 @@ f32 transcendental tolerance, and are sharding/tiling independent.
 
 Forward-only: gradients use the XLA path (with remat); SURVEY.md §7
 "Pallas + autodiff" records this as the accepted trade.
+
+Mosaic portability notes (each found the hard way):
+- no uint32 -> f32 casts: route through int32 (values < 2^24);
+- pixel x/y via f32 floor math, not integer div/mod;
+- never `where` on i1 values: use logic ops ((~a) | b) — i1 selects fail
+  to compile ("unsupported target bitwidth for truncation").
 """
 
 from __future__ import annotations
@@ -45,7 +61,16 @@ from jax.experimental.pallas import tpu as pltpu
 from bevy_raytrace_tpu.config import RenderConfig
 from bevy_raytrace_tpu.wavefront.render import CAMERA_STREAM, FRAME_MIX
 
-TILE_ROWS = 32  # rays per tile = TILE_ROWS * 128
+# Defaults chosen by sweep on TPU v5e (BASELINE scene, 1200x800, depth 8):
+#   (32, unroll=1) 12.5M rays/s; (32, 4) 19.4M; (32, 6) 20.9M;
+#   (64, 4) 19.2M; unroll >= 8 fails Mosaic compile (register pressure).
+# skip_dead_tiles (scratch-state + @pl.when whole-tile early-out) is
+# value-bit-identical but gains <1% — Mosaic appears to predicate rather
+# than branch the region — so it defaults OFF.
+TILE_ROWS = 32
+UNROLL = 6
+SKIP_DEAD_TILES = False
+
 _TWO_PI = np.float32(2.0 * np.pi)
 _INV24 = np.float32(1.0 / 16777216.0)
 
@@ -89,24 +114,32 @@ def _cbrt(v):
     )
 
 
-def _make_kernel(config: RenderConfig, n_spheres: int):
+def _make_kernel(
+    config: RenderConfig,
+    n_padded: int,
+    tile_rows: int,
+    unroll: int,
+    skip_dead: bool,
+):
     width = np.float32(config.width)
     height = np.float32(config.height)
     t_min = np.float32(config.t_min)
     t_max = np.float32(config.t_max)
     max_depth = config.max_depth
+    n_iters = n_padded // unroll
 
-    def kernel(geom_ref, mat_ref, cam_ref, seed_ref, fb_r, fb_g, fb_b):
+    def kernel(geom_ref, mat_ref, cam_ref, seed_ref, fb_r, fb_g, fb_b,
+               *scratch):
         tile = pl.program_id(0)
         s = pl.program_id(1)
         sample = s.astype(jnp.uint32)
         seed = seed_ref[0]
 
-        shape = (TILE_ROWS, 128)
+        shape = (tile_rows, 128)
         row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
         lane = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
         pid = (
-            tile.astype(jnp.uint32) * np.uint32(TILE_ROWS * 128)
+            tile.astype(jnp.uint32) * np.uint32(tile_rows * 128)
             + row * np.uint32(128)
             + lane
         )
@@ -115,8 +148,7 @@ def _make_kernel(config: RenderConfig, n_spheres: int):
         ca, cb, cc, cd = _pcg4d(pid, sample, np.uint32(CAMERA_STREAM), seed)
         cu1, cu2, cu3, cu4 = _to_unit(ca), _to_unit(cb), _to_unit(cc), _to_unit(cd)
 
-        # Pixel coords via f32 math (integer div/mod are not Mosaic-friendly;
-        # pid < 2^24 so the f32 round trip is exact).
+        # Pixel coords via f32 math (pid < 2^24 so the round trip is exact).
         pid_f = pid.astype(jnp.int32).astype(jnp.float32)
         py = jnp.floor(pid_f / width)
         px = pid_f - py * width
@@ -148,31 +180,36 @@ def _make_kernel(config: RenderConfig, n_spheres: int):
 
         one = jnp.ones(shape, jnp.float32)
         zero = jnp.zeros(shape, jnp.float32)
-        tp_r, tp_g, tp_b = one, one, one
-        rad_r, rad_g, rad_b = zero, zero, zero
-        alive = jnp.ones(shape, bool)
 
-        for bounce in range(max_depth):
+        def bounce_body(bounce, carry):
+            (ox, oy, oz, dx, dy, dz,
+             tp_r, tp_g, tp_b, rad_r, rad_g, rad_b, alive) = carry
+
             # ---- intersect: brute-force nearest hit --------------------
-            def sphere_body(n, carry):
-                (bt, bcx, bcy, bcz, binv, bar, bag, bab, bkd, bfz, bio) = carry
+            # Per-ray invariants of the quadratic (dir is unit: a == 1).
+            o_dot_d = ox * dx + oy * dy + oz * dz
+            o2 = ox * ox + oy * oy + oz * oz
+
+            def one_sphere(n, carry):
+                (bt, bcx, bcy, bcz, binv,
+                 bar, bag, bab, bkd, bfz, bio) = carry
                 cx = geom_ref[0, n]
                 cy = geom_ref[1, n]
                 cz = geom_ref[2, n]
-                r2 = geom_ref[3, n]
+                kq = geom_ref[3, n]  # |c|^2 - r^2
                 ivr = geom_ref[4, n]
-                ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-                half_b = ocx * dx + ocy * dy + ocz * dz
-                cq = ocx * ocx + ocy * ocy + ocz * ocz - r2
+                c_dot_d = cx * dx + cy * dy + cz * dz
+                o_dot_c = ox * cx + oy * cy + oz * cz
+                half_b = o_dot_d - c_dot_d
+                cq = o2 - 2.0 * o_dot_c + kq
                 disc = half_b * half_b - cq
-                hitm = disc > 0.0
                 sq = jnp.sqrt(jnp.maximum(disc, 0.0))
                 rn = -half_b - sq
                 rf = -half_b + sq
-                near_ok = hitm & (rn > t_min) & (rn < bt)
-                far_ok = hitm & (rf > t_min) & (rf < bt)
-                tn = jnp.where(near_ok, rn, jnp.where(far_ok, rf, t_max))
-                better = tn < bt
+                # near root when valid, else far (equivalent to the
+                # reference's two-interval check, intersect.wgsl:108-121).
+                tn = jnp.where(rn > t_min, rn, rf)
+                better = (disc > 0.0) & (tn > t_min) & (tn < bt)
                 bt = jnp.where(better, tn, bt)
                 bcx = jnp.where(better, cx, bcx)
                 bcy = jnp.where(better, cy, bcy)
@@ -186,13 +223,19 @@ def _make_kernel(config: RenderConfig, n_spheres: int):
                 bio = jnp.where(better, mat_ref[5, n], bio)
                 return (bt, bcx, bcy, bcz, binv, bar, bag, bab, bkd, bfz, bio)
 
+            def sphere_block(i, carry):
+                base = i * unroll
+                for j in range(unroll):
+                    carry = one_sphere(base + j, carry)
+                return carry
+
             init = (
                 jnp.full(shape, t_max, jnp.float32),
                 zero, zero, zero, one,
                 zero, zero, zero, zero, zero, one,
             )
             (bt, bcx, bcy, bcz, binv, bar, bag, bab, bkd, bfz, bio) = (
-                jax.lax.fori_loop(0, n_spheres, sphere_body, init)
+                jax.lax.fori_loop(0, n_iters, sphere_block, init)
             )
 
             hit = bt < t_max
@@ -208,9 +251,7 @@ def _make_kernel(config: RenderConfig, n_spheres: int):
             nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
 
             # ---- shade (shade.wgsl analog) -----------------------------
-            ba, bb, bc2, bd = _pcg4d(
-                pid, sample, jnp.uint32(bounce), seed
-            )
+            ba, bb, bc2, bd = _pcg4d(pid, sample, bounce.astype(jnp.uint32), seed)
             u1, u2, u3, u4 = _to_unit(ba), _to_unit(bb), _to_unit(bc2), _to_unit(bd)
 
             # unit sphere sample
@@ -283,11 +324,10 @@ def _make_kernel(config: RenderConfig, n_spheres: int):
             tsky = 0.5 * (dy + 1.0)
             sk_r = 1.0 - 0.5 * tsky
             sk_g = 1.0 - 0.3 * tsky
-            sk_b = 1.0  # (1-t)*1 + t*1.0
             add = alive & ~hit
             rad_r = rad_r + jnp.where(add, tp_r * sk_r, 0.0)
             rad_g = rad_g + jnp.where(add, tp_g * sk_g, 0.0)
-            rad_b = rad_b + jnp.where(add, tp_b * sk_b, 0.0)
+            rad_b = rad_b + jnp.where(add, tp_b, 0.0)  # sky blue term == 1
 
             scat = alive & hit
             tp_r = jnp.where(scat, tp_r * at_r, tp_r)
@@ -301,6 +341,54 @@ def _make_kernel(config: RenderConfig, n_spheres: int):
             dx = jnp.where(alive, sx, dx)
             dy = jnp.where(alive, sy, dy)
             dz = jnp.where(alive, sz, dz)
+            return (ox, oy, oz, dx, dy, dz,
+                    tp_r, tp_g, tp_b, rad_r, rad_g, rad_b, alive)
+
+        if not skip_dead:
+            carry = (ox, oy, oz, dx, dy, dz,
+                     one, one, one, zero, zero, zero,
+                     jnp.ones(shape, bool))
+            for bounce in range(max_depth):
+                carry = bounce_body(jnp.uint32(bounce), carry)
+            rad_r, rad_g, rad_b = carry[9], carry[10], carry[11]
+        else:
+            # Whole-tile early-out: per-ray state lives in VMEM scratch and
+            # each bounce >= 1 is a predicated @pl.when region gated on "any
+            # lane still alive" (an SMEM flag updated per bounce).  Sky
+            # tiles die at bounce 0-1 and skip the remaining rounds — the
+            # TPU form of the reference's per-thread dead-ray early-out
+            # (intersect.wgsl:154).  (lax.cond with vector carries does not
+            # compile in this Mosaic version; predicated regions do.)
+            *state_refs, alive_ref, flag_ref = scratch
+
+            carry = bounce_body(
+                jnp.uint32(0),
+                (ox, oy, oz, dx, dy, dz,
+                 one, one, one, zero, zero, zero,
+                 jnp.ones(shape, bool)),
+            )
+            for r, v in zip(state_refs, carry[:12]):
+                r[:] = v
+            alive_f = jnp.where(carry[12], 1.0, 0.0)
+            alive_ref[:] = alive_f
+            flag_ref[0] = jnp.max(alive_f).astype(jnp.int32)
+
+            for bounce in range(1, max_depth):
+                @pl.when(flag_ref[0] == 1)
+                def _(bounce=bounce):
+                    carry_in = tuple(r[:] for r in state_refs) + (
+                        alive_ref[:] > 0.5,
+                    )
+                    out = bounce_body(jnp.uint32(bounce), carry_in)
+                    for r, v in zip(state_refs, out[:12]):
+                        r[:] = v
+                    af = jnp.where(out[12], 1.0, 0.0)
+                    alive_ref[:] = af
+                    flag_ref[0] = jnp.max(af).astype(jnp.int32)
+
+            rad_r = state_refs[9][:]
+            rad_g = state_refs[10][:]
+            rad_b = state_refs[11][:]
 
         # ---- accumulate into the framebuffer block ---------------------
         @pl.when(s == 0)
@@ -319,7 +407,14 @@ def _make_kernel(config: RenderConfig, n_spheres: int):
 
 
 def render_pallas(
-    scene, camera, config: RenderConfig, frame=0, interpret: bool = False
+    scene,
+    camera,
+    config: RenderConfig,
+    frame=0,
+    interpret: bool = False,
+    tile_rows: int = TILE_ROWS,
+    unroll: int = UNROLL,
+    skip_dead_tiles: bool = SKIP_DEAD_TILES,
 ):
     """Drop-in replacement for wavefront.render on the forward path.
 
@@ -329,19 +424,23 @@ def render_pallas(
     """
     n = scene.count
     num_pixels = config.num_pixels
-    tile_px = TILE_ROWS * 128
+    tile_px = tile_rows * 128
     n_tiles = -(-num_pixels // tile_px)
     p_pad = n_tiles * tile_px
+    n_pad = -(-n // unroll) * unroll
 
     # Scene -> SMEM layouts.  inv_r keeps the sign of the radius (negative
-    # radius = inward normal, the hollow-glass trick); r2 is sign-free.
+    # radius = inward normal, the hollow-glass trick); kq = |c|^2 - r^2 is
+    # the per-sphere constant of the expanded quadratic.  Padding spheres
+    # get kq = +inf so disc < 0 (never hit).
     radii = scene.radii
+    kq = jnp.sum(scene.centers * scene.centers, axis=-1) - radii * radii
     geom = jnp.stack(
         [
             scene.centers[:, 0],
             scene.centers[:, 1],
             scene.centers[:, 2],
-            radii * radii,
+            kq,
             1.0 / radii,
         ]
     )  # [5, N]
@@ -357,6 +456,15 @@ def render_pallas(
             m.ior[scene.material_id],
         ]
     )  # [6, N]
+    if n_pad != n:
+        pad = np.zeros((5, n_pad - n), np.float32)
+        pad[3, :] = 1e30  # kq huge -> disc < 0 -> never hits
+        pad[4, :] = 1.0
+        geom = jnp.concatenate([geom, jnp.asarray(pad)], axis=1)
+        mpad = np.zeros((6, n_pad - n), np.float32)
+        mpad[5, :] = 1.0
+        mats = jnp.concatenate([mats, jnp.asarray(mpad)], axis=1)
+
     cam = jnp.concatenate(
         [
             camera.origin.reshape(-1),
@@ -376,12 +484,18 @@ def render_pallas(
         )
     seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1)
 
-    kernel = _make_kernel(config, n)
+    kernel = _make_kernel(config, n_pad, tile_rows, unroll, skip_dead_tiles)
     out_shape = jax.ShapeDtypeStruct((p_pad // 128, 128), jnp.float32)
     fb_spec = pl.BlockSpec(
-        (TILE_ROWS, 128), lambda t, s: (t, 0), memory_space=pltpu.VMEM
+        (tile_rows, 128), lambda t, s: (t, 0), memory_space=pltpu.VMEM
     )
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+
+    scratch_shapes = []
+    if skip_dead_tiles:
+        scratch_shapes = [
+            pltpu.VMEM((tile_rows, 128), jnp.float32) for _ in range(13)
+        ] + [pltpu.SMEM((1,), jnp.int32)]
 
     fb_r, fb_g, fb_b = pl.pallas_call(
         kernel,
@@ -389,6 +503,7 @@ def render_pallas(
         in_specs=[smem(), smem(), smem(), smem()],
         out_specs=(fb_spec, fb_spec, fb_spec),
         out_shape=(out_shape, out_shape, out_shape),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(geom, mats, cam, seed_arr)
 

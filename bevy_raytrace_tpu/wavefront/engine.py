@@ -1,0 +1,81 @@
+"""Renderer session object — the frame-loop layer.
+
+The reference drives frames through a render-graph node with a
+Loading -> Ready state machine gated on async pipeline compilation
+(`src/ray_trace_node.rs:173-193`) and re-uploads scene/camera buffers
+every frame (`src/sphere.rs:180-197`).  The TPU analog: `Renderer` holds
+the jitted step (compilation happens on `warmup()` or the first frame —
+the Loading phase), auto-advances the frame counter (RNG decorrelation,
+like the reference's `frame` bump in `ray_trace_globals.rs:56-68`), and
+accepts a new scene/camera pytree every frame for free.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+
+from bevy_raytrace_tpu.config import RenderConfig
+from bevy_raytrace_tpu.utils.metrics import FrameTimer
+
+
+class Renderer:
+    """A reusable render session.
+
+    Args:
+      config: static render configuration.
+      backend: "xla" (differentiable reference path), "pallas" (fused TPU
+        kernel, forward-only), or "sharded" (pixels over a device mesh).
+      mesh: required for backend="sharded".
+    """
+
+    def __init__(self, config: RenderConfig, backend: str = "xla", mesh=None):
+        self.config = config
+        self.backend = backend
+        self.frame = 0
+        self.ready = False
+        self._compile_time: Optional[float] = None
+
+        if backend == "xla":
+            from bevy_raytrace_tpu.wavefront.render import render
+
+            self._step = jax.jit(render, static_argnums=2)
+            self._extra = (config,)
+        elif backend == "pallas":
+            from bevy_raytrace_tpu.kernels import render_pallas
+
+            self._step = jax.jit(render_pallas, static_argnums=2)
+            self._extra = (config,)
+        elif backend == "sharded":
+            if mesh is None:
+                from bevy_raytrace_tpu.shard import make_mesh
+
+                mesh = make_mesh()
+            from bevy_raytrace_tpu.shard import render_sharded
+
+            self._step = jax.jit(render_sharded, static_argnums=(2, 3))
+            self._extra = (config, mesh)
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+
+    def warmup(self, scene, camera):
+        """Compile (the reference's Loading phase); returns compile seconds."""
+        t0 = time.perf_counter()
+        jax.block_until_ready(self._step(scene, camera, *self._extra, 0))
+        self._compile_time = time.perf_counter() - t0
+        self.ready = True
+        return self._compile_time
+
+    def render_frame(self, scene, camera, timer: Optional[FrameTimer] = None):
+        """Render the next frame (frame counter auto-advances)."""
+        if timer is not None:
+            img, _ = timer.time_frame(
+                self._step, scene, camera, *self._extra, self.frame
+            )
+        else:
+            img = self._step(scene, camera, *self._extra, self.frame)
+        self.frame += 1
+        self.ready = True
+        return img

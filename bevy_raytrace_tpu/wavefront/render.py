@@ -31,8 +31,6 @@ compacted; ray index == pixel index, so `collect` needs no scatter.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -221,10 +219,14 @@ def render(scene: Scene, camera: Camera, config: RenderConfig, frame=0):
     return fb.reshape(config.height, config.width, 3)
 
 
-def make_renderer(config: RenderConfig, donate: bool = False):
-    """A jitted `render(scene, camera, frame=0)` specialized to `config`."""
+def make_renderer(config: RenderConfig):
+    """A jitted `render(scene, camera, frame=0)` specialized to `config`.
 
-    @functools.partial(jax.jit, static_argnums=())
+    For a stateful session (auto frame counter, warmup, backend choice)
+    use `wavefront.engine.Renderer`.
+    """
+
+    @jax.jit
     def step(scene, camera, frame=0):
         return render(scene, camera, config, frame)
 
