@@ -43,6 +43,10 @@ def _add_render_args(p):
     p.add_argument("--aperture", type=float, default=None)
     p.add_argument("--sharded", action="store_true",
                    help="shard pixels over all local devices")
+    p.add_argument("--backend", choices=["xla", "pallas"], default="xla",
+                   help="compute path (pallas = fused TPU kernel)")
+    p.add_argument("--cluster-size", type=int, default=0,
+                   help="enable cluster-culled traversal (pallas backend)")
     p.add_argument("-o", "--output", default="render.png")
 
 
@@ -84,15 +88,25 @@ def _build(args):
     return config, scene, camera, registry
 
 
-def _make_step(config, sharded):
+def _make_step(config, args, scene=None):
     import jax
 
-    if sharded:
+    if args.sharded:
         from bevy_raytrace_tpu.shard import make_mesh, render_sharded
 
         mesh = make_mesh()
         print(f"mesh: {mesh}", file=sys.stderr)
         return jax.jit(render_sharded, static_argnums=(2, 3)), (config, mesh)
+    if getattr(args, "backend", "xla") == "pallas":
+        import functools
+
+        from bevy_raytrace_tpu.kernels import cluster_scene, render_pallas
+
+        clusters = None
+        if args.cluster_size and scene is not None:
+            clusters = cluster_scene(scene, cluster_size=args.cluster_size)
+        fn = functools.partial(render_pallas, clusters=clusters)
+        return jax.jit(fn, static_argnums=2), (config,)
     from bevy_raytrace_tpu.wavefront.render import render
 
     return jax.jit(render, static_argnums=2), (config,)
@@ -104,7 +118,7 @@ def cmd_render(args):
     from bevy_raytrace_tpu.io import write_image
 
     config, scene, camera, _ = _build(args)
-    step, extra = _make_step(config, args.sharded)
+    step, extra = _make_step(config, args, scene)
     t0 = time.time()
     img = jax.block_until_ready(step(scene, camera, *extra, args.frame))
     dt = time.time() - t0
@@ -128,7 +142,7 @@ def cmd_animate(args):
     from bevy_raytrace_tpu.io import write_image
 
     config, scene, camera, _ = _build(args)
-    step, extra = _make_step(config, args.sharded)
+    step, extra = _make_step(config, args, scene)
     os.makedirs(args.output, exist_ok=True)
     t_first = t_rest = 0.0
     for i in range(args.frames):

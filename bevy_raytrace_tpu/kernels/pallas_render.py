@@ -120,6 +120,8 @@ def _make_kernel(
     tile_rows: int,
     unroll: int,
     skip_dead: bool,
+    n_clusters: int = 0,
+    cluster_size: int = 0,
 ):
     width = np.float32(config.width)
     height = np.float32(config.height)
@@ -127,9 +129,18 @@ def _make_kernel(
     t_max = np.float32(config.t_max)
     max_depth = config.max_depth
     n_iters = n_padded // unroll
+    clustered = n_clusters > 0
+    if clustered:
+        blocks_per_cluster = cluster_size // unroll
+        bpc_pow2 = (blocks_per_cluster & (blocks_per_cluster - 1)) == 0
+        bpc_shift = int(np.log2(blocks_per_cluster)) if bpc_pow2 else None
 
-    def kernel(geom_ref, mat_ref, cam_ref, seed_ref, fb_r, fb_g, fb_b,
-               *scratch):
+    def kernel(geom_ref, mat_ref, cam_ref, seed_ref, *rest):
+        if clustered:
+            cb_ref, fb_r, fb_g, fb_b, *scratch = rest
+            *scratch, list_ref, count_ref = scratch
+        else:
+            fb_r, fb_g, fb_b, *scratch = rest
         tile = pl.program_id(0)
         s = pl.program_id(1)
         sample = s.astype(jnp.uint32)
@@ -234,9 +245,57 @@ def _make_kernel(
                 zero, zero, zero, one,
                 zero, zero, zero, zero, zero, one,
             )
-            (bt, bcx, bcy, bcz, binv, bar, bag, bab, bkd, bfz, bio) = (
-                jax.lax.fori_loop(0, n_iters, sphere_block, init)
-            )
+            if not clustered:
+                (bt, bcx, bcy, bcz, binv, bar, bag, bab, bkd, bfz, bio) = (
+                    jax.lax.fori_loop(0, n_iters, sphere_block, init)
+                )
+            else:
+                # Phase A: tile-vs-cluster-bound tests; compact hit cluster
+                # ids into the SMEM worklist (predicated scalar appends).
+                # Dead lanes are masked out, so late-bounce tiles traverse
+                # only what their survivors can see.
+                count_ref[0] = 0
+                for c in range(n_clusters):
+                    ccx = cb_ref[0, c]
+                    ccy = cb_ref[1, c]
+                    ccz = cb_ref[2, c]
+                    ckq = cb_ref[3, c]
+                    c_dot_d = ccx * dx + ccy * dy + ccz * dz
+                    o_dot_c = ox * ccx + oy * ccy + oz * ccz
+                    hb = o_dot_d - c_dot_d
+                    cq = o2 - 2.0 * o_dot_c + ckq
+                    disc = hb * hb - cq
+                    rfar = -hb + jnp.sqrt(jnp.maximum(disc, 0.0))
+                    lane = (disc > 0.0) & (rfar > t_min) & alive
+                    flag = jnp.max(jnp.where(lane, 1.0, 0.0)) > 0.0
+
+                    @pl.when(flag)
+                    def _(c=c):
+                        list_ref[count_ref[0]] = c
+                        count_ref[0] = count_ref[0] + 1
+
+                # Phase B: walk only the flagged clusters (dynamic trip
+                # count; unroll-block granularity within each cluster).
+                def cluster_block(k, carry):
+                    if bpc_pow2:
+                        ci = k >> bpc_shift
+                        off = (k & (blocks_per_cluster - 1)) * unroll
+                    else:
+                        ci = k // blocks_per_cluster
+                        off = (k % blocks_per_cluster) * unroll
+                    base = list_ref[ci] * cluster_size + off
+                    for j in range(unroll):
+                        carry = one_sphere(base + j, carry)
+                    return carry
+
+                (bt, bcx, bcy, bcz, binv, bar, bag, bab, bkd, bfz, bio) = (
+                    jax.lax.fori_loop(
+                        0,
+                        count_ref[0] * blocks_per_cluster,
+                        cluster_block,
+                        init,
+                    )
+                )
 
             hit = bt < t_max
             t_safe = jnp.where(hit, bt, 0.0)
@@ -415,53 +474,73 @@ def render_pallas(
     tile_rows: int = TILE_ROWS,
     unroll: int = UNROLL,
     skip_dead_tiles: bool = SKIP_DEAD_TILES,
+    clusters=None,
 ):
     """Drop-in replacement for wavefront.render on the forward path.
 
     Returns linear float32 [H, W, 3]; agrees with the XLA path to f32
     tolerance (identical RNG counters, same math, different transcendental
     codegen).
+
+    `clusters`: a `kernels.clusters.ClusterPlan` enables culled traversal
+    (tile-vs-cluster-bound broad phase + dynamic worklist) instead of the
+    reference-style brute-force scan; results are identical up to
+    nearest-hit tie order.
     """
     n = scene.count
     num_pixels = config.num_pixels
     tile_px = tile_rows * 128
     n_tiles = -(-num_pixels // tile_px)
     p_pad = n_tiles * tile_px
-    n_pad = -(-n // unroll) * unroll
 
     # Scene -> SMEM layouts.  inv_r keeps the sign of the radius (negative
     # radius = inward normal, the hollow-glass trick); kq = |c|^2 - r^2 is
-    # the per-sphere constant of the expanded quadratic.  Padding spheres
-    # get kq = +inf so disc < 0 (never hit).
+    # the per-sphere constant of the expanded quadratic.
     radii = scene.radii
-    kq = jnp.sum(scene.centers * scene.centers, axis=-1) - radii * radii
-    geom = jnp.stack(
-        [
-            scene.centers[:, 0],
-            scene.centers[:, 1],
-            scene.centers[:, 2],
-            kq,
-            1.0 / radii,
-        ]
-    )  # [5, N]
+    centers = scene.centers
     m = scene.materials
+    kind_f = m.kind[scene.material_id].astype(jnp.float32)
+    fuzz = m.fuzz[scene.material_id]
+    ior = m.ior[scene.material_id]
     albedo = m.albedo[scene.material_id]  # flatten per sphere
+
+    cbounds = None
+    if clusters is not None:
+        if clusters.cluster_size % unroll != 0:
+            raise ValueError(
+                f"cluster_size={clusters.cluster_size} must be a multiple "
+                f"of unroll={unroll}"
+            )
+        from bevy_raytrace_tpu.kernels.clusters import cluster_bounds
+
+        bx, by, bz, bkq = cluster_bounds(centers, radii, clusters)
+        cbounds = jnp.stack([bx, by, bz, bkq]).astype(jnp.float32)  # [4, C]
+        perm = clusters.perm  # [C*L]; pad slots repeat a real sphere —
+        # a duplicate produces the same t and strict-< tie-breaking keeps
+        # the first, so results are unchanged.
+        centers = centers[perm]
+        radii = radii[perm]
+        kind_f = kind_f[perm]
+        fuzz = fuzz[perm]
+        ior = ior[perm]
+        albedo = albedo[perm]
+        n_pad = clusters.n_clusters * clusters.cluster_size
+    else:
+        n_pad = -(-n // unroll) * unroll
+
+    kq = jnp.sum(centers * centers, axis=-1) - radii * radii
+    geom = jnp.stack(
+        [centers[:, 0], centers[:, 1], centers[:, 2], kq, 1.0 / radii]
+    )  # [5, N']
     mats = jnp.stack(
-        [
-            albedo[:, 0],
-            albedo[:, 1],
-            albedo[:, 2],
-            m.kind[scene.material_id].astype(jnp.float32),
-            m.fuzz[scene.material_id],
-            m.ior[scene.material_id],
-        ]
-    )  # [6, N]
-    if n_pad != n:
-        pad = np.zeros((5, n_pad - n), np.float32)
+        [albedo[:, 0], albedo[:, 1], albedo[:, 2], kind_f, fuzz, ior]
+    )  # [6, N']
+    if n_pad != geom.shape[1]:
+        pad = np.zeros((5, n_pad - geom.shape[1]), np.float32)
         pad[3, :] = 1e30  # kq huge -> disc < 0 -> never hits
         pad[4, :] = 1.0
         geom = jnp.concatenate([geom, jnp.asarray(pad)], axis=1)
-        mpad = np.zeros((6, n_pad - n), np.float32)
+        mpad = np.zeros((6, n_pad - mats.shape[1]), np.float32)
         mpad[5, :] = 1.0
         mats = jnp.concatenate([mats, jnp.asarray(mpad)], axis=1)
 
@@ -484,28 +563,47 @@ def render_pallas(
         )
     seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1)
 
-    kernel = _make_kernel(config, n_pad, tile_rows, unroll, skip_dead_tiles)
+    kernel = _make_kernel(
+        config,
+        n_pad,
+        tile_rows,
+        unroll,
+        skip_dead_tiles,
+        n_clusters=0 if clusters is None else clusters.n_clusters,
+        cluster_size=0 if clusters is None else clusters.cluster_size,
+    )
     out_shape = jax.ShapeDtypeStruct((p_pad // 128, 128), jnp.float32)
     fb_spec = pl.BlockSpec(
         (tile_rows, 128), lambda t, s: (t, 0), memory_space=pltpu.VMEM
     )
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
 
+    in_specs = [smem(), smem(), smem(), smem()]
+    inputs = [geom, mats, cam, seed_arr]
+    if clusters is not None:
+        in_specs.append(smem())
+        inputs.append(cbounds)
+
     scratch_shapes = []
     if skip_dead_tiles:
-        scratch_shapes = [
+        scratch_shapes += [
             pltpu.VMEM((tile_rows, 128), jnp.float32) for _ in range(13)
         ] + [pltpu.SMEM((1,), jnp.int32)]
+    if clusters is not None:
+        scratch_shapes += [
+            pltpu.SMEM((clusters.n_clusters,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ]
 
     fb_r, fb_g, fb_b = pl.pallas_call(
         kernel,
         grid=(n_tiles, config.samples_per_pixel),
-        in_specs=[smem(), smem(), smem(), smem()],
+        in_specs=in_specs,
         out_specs=(fb_spec, fb_spec, fb_spec),
         out_shape=(out_shape, out_shape, out_shape),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(geom, mats, cam, seed_arr)
+    )(*inputs)
 
     fb = jnp.stack(
         [fb_r.reshape(-1), fb_g.reshape(-1), fb_b.reshape(-1)], axis=-1

@@ -71,6 +71,57 @@ def test_pallas_spp_accumulation():
     np.testing.assert_allclose(got, ref, atol=2e-4)
 
 
+def test_clustered_traversal_bit_identical():
+    """Cluster-culled traversal must reproduce the brute-force kernel
+    exactly (same per-sphere math; only traversal order/coverage differ,
+    and bounds are conservative)."""
+    from bevy_raytrace_tpu.kernels import cluster_scene
+
+    cfg = RenderConfig(width=64, height=32, samples_per_pixel=2, max_depth=4)
+    scene, _ = rtiow_final_scene(seed=3, grid=3)
+    cam = rtiow_final_camera(cfg.aspect)
+    brute = np.asarray(render_pallas(scene, cam, cfg, interpret=True))
+    for L in (6, 12, 24):
+        plan = cluster_scene(scene, cluster_size=L)
+        clustered = np.asarray(
+            render_pallas(scene, cam, cfg, interpret=True, clusters=plan)
+        )
+        np.testing.assert_array_equal(brute, clustered)
+
+
+def test_cluster_plan_shapes_and_bounds_contain_members():
+    from bevy_raytrace_tpu.kernels import cluster_scene
+    from bevy_raytrace_tpu.kernels.clusters import cluster_bounds
+
+    scene, _ = rtiow_final_scene(seed=0, grid=4)
+    plan = cluster_scene(scene, cluster_size=24)
+    assert plan.perm.shape == (plan.n_clusters * 24,)
+    # every real sphere appears exactly once
+    real = plan.perm[plan.member_mask.reshape(-1) > 0]
+    assert sorted(real.tolist()) == list(range(scene.count))
+    bx, by, bz, bkq = cluster_bounds(scene.centers, scene.radii, plan)
+    bc = np.stack([np.asarray(bx), np.asarray(by), np.asarray(bz)], -1)
+    br = np.sqrt(np.sum(bc * bc, -1) - np.asarray(bkq))
+    c = np.asarray(scene.centers)[plan.perm].reshape(plan.n_clusters, 24, 3)
+    r = np.abs(np.asarray(scene.radii)[plan.perm]).reshape(plan.n_clusters, 24)
+    extent = np.linalg.norm(c - bc[:, None, :], axis=-1) + r
+    mask = plan.member_mask > 0
+    assert ((extent <= br[:, None] + 1e-5) | ~mask).all()
+
+
+def test_cluster_unroll_divisibility_error():
+    from bevy_raytrace_tpu.kernels import cluster_scene
+
+    cfg = RenderConfig(width=64, height=32, samples_per_pixel=1, max_depth=2)
+    scene, _ = baseline_config1_scene()
+    plan = cluster_scene(scene, cluster_size=5)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple"):
+        render_pallas(scene, baseline_config1_camera(cfg.aspect), cfg,
+                      interpret=True, clusters=plan, unroll=6)
+
+
 def test_pallas_frame_seed():
     cfg = RenderConfig(width=64, height=32, samples_per_pixel=1, max_depth=2)
     scene, _ = baseline_config1_scene()
