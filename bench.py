@@ -50,6 +50,8 @@ def main():
     p.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto")
     p.add_argument("--ray-chunk", type=int, default=0)
     p.add_argument("--spp-chunk", type=int, default=0)
+    p.add_argument("--cluster-size", type=int, default=12,
+                   help="cluster-culled traversal (pallas; 0 = brute force)")
     args = p.parse_args()
     if args.quick:
         args.spp = 16
@@ -101,7 +103,18 @@ def main():
             pass
 
     if backend == "pallas":
-        from bevy_raytrace_tpu.kernels import render_pallas as render_fn
+        import functools
+
+        from bevy_raytrace_tpu.kernels import cluster_scene, render_pallas
+
+        clusters = None
+        if args.cluster_size:
+            clusters = cluster_scene(scene, cluster_size=args.cluster_size)
+            log(
+                f"cluster culling: {clusters.n_clusters} clusters x "
+                f"{clusters.cluster_size}"
+            )
+        render_fn = functools.partial(render_pallas, clusters=clusters)
     else:
         from bevy_raytrace_tpu.wavefront.render import render as render_fn
 

@@ -45,8 +45,8 @@ def _add_render_args(p):
                    help="shard pixels over all local devices")
     p.add_argument("--backend", choices=["xla", "pallas"], default="xla",
                    help="compute path (pallas = fused TPU kernel)")
-    p.add_argument("--cluster-size", type=int, default=0,
-                   help="enable cluster-culled traversal (pallas backend)")
+    p.add_argument("--cluster-size", type=int, default=12,
+                   help="cluster-culled traversal (pallas backend; 0 = brute force)")
     p.add_argument("-o", "--output", default="render.png")
 
 

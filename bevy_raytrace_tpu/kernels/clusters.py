@@ -57,7 +57,7 @@ class ClusterPlan:
     n_clusters: int
 
 
-def cluster_scene(scene, cluster_size: int = 24) -> ClusterPlan:
+def cluster_scene(scene, cluster_size: int = 12) -> ClusterPlan:
     """Build a ClusterPlan from a *concrete* scene (host numpy).
 
     Spheres are sorted by the Morton code of their quantized (x, z)

@@ -62,12 +62,18 @@ from bevy_raytrace_tpu.config import RenderConfig
 from bevy_raytrace_tpu.wavefront.render import CAMERA_STREAM, FRAME_MIX
 
 # Defaults chosen by sweep on TPU v5e (BASELINE scene, 1200x800, depth 8):
-#   (32, unroll=1) 12.5M rays/s; (32, 4) 19.4M; (32, 6) 20.9M;
+#   brute force: (32, unroll=1) 12.5M rays/s; (32, 4) 19.4M; (32, 6) 20.9M;
 #   (64, 4) 19.2M; unroll >= 8 fails Mosaic compile (register pressure).
+# With cluster culling the optimum shifts to SMALLER tiles (a narrower
+# tile sees fewer clusters, so phase B walks a shorter worklist):
+#   cs=12: tr=16 25.7M, tr=32 24.4M, tr=64 23.3M; cs=24 tr=32 23.5M;
+#   cs=16/un=4 tr=16 23.9M; cs=6 (81 predicated phase-A regions) hangs
+#   Mosaic compile; tr=8 likewise.
 # skip_dead_tiles (scratch-state + @pl.when whole-tile early-out) is
 # value-bit-identical but gains <1% — Mosaic appears to predicate rather
 # than branch the region — so it defaults OFF.
 TILE_ROWS = 32
+CLUSTERED_TILE_ROWS = 16
 UNROLL = 6
 SKIP_DEAD_TILES = False
 
@@ -471,7 +477,7 @@ def render_pallas(
     config: RenderConfig,
     frame=0,
     interpret: bool = False,
-    tile_rows: int = TILE_ROWS,
+    tile_rows: int | None = None,
     unroll: int = UNROLL,
     skip_dead_tiles: bool = SKIP_DEAD_TILES,
     clusters=None,
@@ -489,6 +495,8 @@ def render_pallas(
     """
     n = scene.count
     num_pixels = config.num_pixels
+    if tile_rows is None:
+        tile_rows = TILE_ROWS if clusters is None else CLUSTERED_TILE_ROWS
     tile_px = tile_rows * 128
     n_tiles = -(-num_pixels // tile_px)
     p_pad = n_tiles * tile_px

@@ -44,9 +44,29 @@ class Renderer:
             self._step = jax.jit(render, static_argnums=2)
             self._extra = (config,)
         elif backend == "pallas":
-            from bevy_raytrace_tpu.kernels import render_pallas
+            import functools
 
-            self._step = jax.jit(render_pallas, static_argnums=2)
+            from bevy_raytrace_tpu.kernels import cluster_scene, render_pallas
+
+            # Cluster-culled traversal plan, built lazily from the first
+            # concrete scene (membership is static; bounds are recomputed
+            # from live geometry inside the kernel, so per-frame sphere
+            # edits — the reference's live re-upload path,
+            # `src/sphere.rs:180-197` — need no replanning).
+            self._fn = None
+            self._plan_count = None
+
+            def step(scene, camera, config, frame):
+                if self._plan_count != scene.count:
+                    plan = cluster_scene(scene) if scene.count >= 32 else None
+                    self._fn = jax.jit(
+                        functools.partial(render_pallas, clusters=plan),
+                        static_argnums=2,
+                    )
+                    self._plan_count = scene.count
+                return self._fn(scene, camera, config, frame)
+
+            self._step = step
             self._extra = (config,)
         elif backend == "sharded":
             if mesh is None:
