@@ -140,6 +140,13 @@ def _make_kernel(
         blocks_per_cluster = cluster_size // unroll
         bpc_pow2 = (blocks_per_cluster & (blocks_per_cluster - 1)) == 0
         bpc_shift = int(np.log2(blocks_per_cluster)) if bpc_pow2 else None
+        # Cluster-hit bits are folded into int32 lane accumulators (30 bits
+        # per word keeps shifts clear of the sign bit), so phase A needs
+        # exactly one vector->scalar sync per word per bounce instead of one
+        # per cluster (the round-1 kernel's 41 serialized reduce+branch
+        # round-trips per bounce were the dominant frame cost).
+        bits_per_word = 30
+        n_words = -(-n_clusters // bits_per_word)
 
     def kernel(geom_ref, mat_ref, cam_ref, seed_ref, *rest):
         if clustered:
@@ -220,13 +227,15 @@ def _make_kernel(
                 half_b = o_dot_d - c_dot_d
                 cq = o2 - 2.0 * o_dot_c + kq
                 disc = half_b * half_b - cq
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                # sqrt(disc<0) = NaN; NaN fails every compare below, so the
+                # miss case needs no explicit disc>0 test.
+                sq = jnp.sqrt(disc)
                 rn = -half_b - sq
                 rf = -half_b + sq
                 # near root when valid, else far (equivalent to the
                 # reference's two-interval check, intersect.wgsl:108-121).
                 tn = jnp.where(rn > t_min, rn, rf)
-                better = (disc > 0.0) & (tn > t_min) & (tn < bt)
+                better = (tn > t_min) & (tn < bt)
                 bt = jnp.where(better, tn, bt)
                 bcx = jnp.where(better, cx, bcx)
                 bcy = jnp.where(better, cy, bcy)
@@ -256,11 +265,12 @@ def _make_kernel(
                     jax.lax.fori_loop(0, n_iters, sphere_block, init)
                 )
             else:
-                # Phase A: tile-vs-cluster-bound tests; compact hit cluster
-                # ids into the SMEM worklist (predicated scalar appends).
-                # Dead lanes are masked out, so late-bounce tiles traverse
-                # only what their survivors can see.
-                count_ref[0] = 0
+                # Phase A: per-ray ray-vs-cluster-bound tests, hit bits
+                # folded into int32 bitmask vregs (alive lanes only, so
+                # late-bounce tiles traverse only what their survivors can
+                # see).  sqrt(disc<0) = NaN and NaN compares false, so no
+                # explicit disc>0 test is needed.
+                accs = [jnp.zeros(shape, jnp.int32) for _ in range(n_words)]
                 for c in range(n_clusters):
                     ccx = cb_ref[0, c]
                     ccy = cb_ref[1, c]
@@ -270,15 +280,41 @@ def _make_kernel(
                     o_dot_c = ox * ccx + oy * ccy + oz * ccz
                     hb = o_dot_d - c_dot_d
                     cq = o2 - 2.0 * o_dot_c + ckq
-                    disc = hb * hb - cq
-                    rfar = -hb + jnp.sqrt(jnp.maximum(disc, 0.0))
-                    lane = (disc > 0.0) & (rfar > t_min) & alive
-                    flag = jnp.max(jnp.where(lane, 1.0, 0.0)) > 0.0
+                    rfar = jnp.sqrt(hb * hb - cq) - hb
+                    lane = (rfar > t_min) & alive
+                    w = c // bits_per_word
+                    bit = np.int32(1 << (c % bits_per_word))
+                    accs[w] = accs[w] | jnp.where(lane, bit, 0)
 
-                    @pl.when(flag)
-                    def _(c=c):
-                        list_ref[count_ref[0]] = c
-                        count_ref[0] = count_ref[0] + 1
+                # One OR-tree + scalar extraction per word: after the tree
+                # every element holds the tile-wide OR, so any reduction
+                # reads it out.
+                def or_all(a):
+                    sh = 64
+                    while sh >= 1:
+                        a = a | pltpu.roll(a, sh, axis=1)
+                        sh //= 2
+                    sh = tile_rows // 2
+                    while sh >= 1:
+                        a = a | pltpu.roll(a, sh, axis=0)
+                        sh //= 2
+                    return jnp.max(a)
+
+                masks = [or_all(a) for a in accs]
+
+                # Worklist build is now scalar-only (no vector dependency
+                # inside the predicated regions).
+                count_ref[0] = 0
+                for w, m in enumerate(masks):
+                    for j in range(bits_per_word):
+                        c = w * bits_per_word + j
+                        if c >= n_clusters:
+                            break
+
+                        @pl.when(((m >> j) & 1) == 1)
+                        def _(c=c):
+                            list_ref[count_ref[0]] = c
+                            count_ref[0] = count_ref[0] + 1
 
                 # Phase B: walk only the flagged clusters (dynamic trip
                 # count; unroll-block granularity within each cluster).
