@@ -1,0 +1,664 @@
+"""Fused whole-frame path tracer, v3: MXU intersection + persistent lanes.
+
+The round-1/round-2 kernels (`pallas_render.py`) broadcast one sphere at a
+time from SMEM against the ray tile — ~25 VPU ops per (ray, sphere) test
+with the scalar core in the loop, and a fixed `max_depth` bounce schedule
+that pays full price for dead lanes (the bench scene's mean path length is
+2.6 of depth 8).  This kernel removes both costs; same capability surface
+as the reference's intersect/shade/generate/collect WGSL stages
+(`src/ray_trace_node.rs:204-220`, `assets/shaders/intersect.wgsl:132-143`).
+
+Dense (sphere, ray) intersection sweep.  Per-sphere constants live as
+(S,1) columns, per-ray features as (1,R) rows; the centered quadratic
+  oc = o - c,  hb = oc.d,  cq = |oc|^2 - r^2,  roots = -hb -+ sqrt(...)
+is ~20 broadcast VPU ops per (sphere, ray) element with no scalar loop
+and nothing for the scalar core to serialize (the v1 kernel's per-sphere
+SMEM bookkeeping capped it at ~52% VPU utilization).  sqrt(disc<0) = NaN
+fails every compare, so misses need no explicit test.  The nearest hit
+is a packed (t-bits | sphere-idx) int32 min-reduction; near/far root
+selection keeps `intersect.wgsl:108-121` semantics.  An MXU matmul was
+tried for the coefficients and REJECTED: K=8 f32 contractions pad to
+K=128 and need 6 bf16 passes for f32 accuracy — measured 2x slower than
+the v1 scalar loop end-to-end.
+
+Hit attributes (center, 1/r, material) come from one matmul: an equality
+one-hot (packed == min) against the attribute table, with the f32
+attributes pre-split into three bf16 limbs so a SINGLE bf16 MXU pass
+gathers them bit-exactly (products of an exact 0/1 one-hot with bf16
+limbs are exact; hi+mid+lo reassembles f32).  The winner's t is then
+recomputed exactly per ray (12 ops on the small tile) so neither the 10
+mantissa bits the packed key borrows nor the limb split ever reach the
+image.
+
+Persistent lanes (work-stealing refill).  The reference launches exactly
+ray_count threads and lets dead rays early-out per thread
+(`intersect.wgsl:154`); a SIMD tile can't early-out per lane, so at
+depth 8 a fixed schedule wastes ~3x on dead lanes.  Here each lane owns
+one pixel and a private sample counter: when its path dies, the SAME
+round generates the lane's next camera-ray sample (the per-lane analog of
+the reference's atomicAdd work distribution, `generate.wgsl:112`).  A
+`lax.while_loop` runs rounds until every lane has exhausted
+samples_per_pixel; per-lane radiance accumulates in registers in (sample,
+bounce) order — bit-identical to the grid-over-spp schedule.
+
+Cost balancing.  Lane count per tile is fixed, so a tile's round count is
+set by its SLOWEST pixel (measured: mean E[path len] 2.6 but per-tile max
+6.3).  `render_mxu` can therefore take a pixel permutation: sort pixels
+by measured path length (the kernel's 4th output) from a cheap 1-spp
+probe, render the permuted wavefront, un-permute the framebuffer.  RNG
+counters key on absolute pixel id, so any permutation is bit-exact
+(SURVEY.md §7: same stream regardless of layout).
+
+Forward-only, like the reference's render path; gradients use the XLA
+wavefront (wavefront/render.py) with rematerialization.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bevy_raytrace_tpu.config import RenderConfig
+from bevy_raytrace_tpu.wavefront.render import CAMERA_STREAM, FRAME_MIX
+from bevy_raytrace_tpu.kernels.pallas_render import (
+    _pcg4d,
+    _to_unit,
+    _rsqrt_guard,
+    _cbrt,
+    _TWO_PI,
+)
+
+TILE_ROWS = 8
+SPHERE_CHUNK = 256
+# Packed nearest-hit key: f32 t bits with the low IDX_BITS replaced by the
+# sphere index.  Ties resolve to the lowest index — the reference's
+# strict-< first-wins scan order (`intersect.wgsl:137-141`).
+IDX_BITS = 10
+_IDX_MASK = np.int32((1 << IDX_BITS) - 1)
+_KEY_MASK = np.int32(~_IDX_MASK)
+_NO_HIT = np.int32(np.iinfo(np.int32).max)
+
+
+def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
+                 chunk: int, max_rounds: int = 0, dump=None,
+                 debug_expr=None):
+    width = np.float32(config.width)
+    height = np.float32(config.height)
+    t_min = np.float32(config.t_min)
+    # Lane counters (sample, bounce) are carried as f32: Mosaic relayout
+    # of i32 while-loop carries fails ("replicated in destination but not
+    # in source"); f32 is exact for counts < 2^24.
+    max_depth = np.float32(config.max_depth)
+    spp = np.float32(config.samples_per_pixel)
+    n_chunks = s_pad // chunk
+    shape = (tile_rows, 128)
+    r_lanes = tile_rows * 128
+
+    def kernel(geom_ref, attr_ref, cam_ref, seed_ref, pid_ref,
+               fb_r, fb_g, fb_b, fb_len, alive_ref, *state_refs):
+        seed = seed_ref[0]
+        pid = pid_ref[:].astype(jnp.uint32)
+        pid_f = pid_ref[:].astype(jnp.float32)
+        py = jnp.floor(pid_f / width)
+        px = pid_f - py * width
+
+        cox, coy, coz = cam_ref[0], cam_ref[1], cam_ref[2]
+        ux, uy, uz = cam_ref[3], cam_ref[4], cam_ref[5]
+        vx, vy, vz = cam_ref[6], cam_ref[7], cam_ref[8]
+        wx, wy, wz = cam_ref[9], cam_ref[10], cam_ref[11]
+        half_w, half_h = cam_ref[12], cam_ref[13]
+        lens_r, focus = cam_ref[14], cam_ref[15]
+
+        # Derive the loop-carry seeds from loaded data rather than splat
+        # constants: Mosaic gives constant vectors a replicated layout and
+        # then cannot unify it with the varying layouts the loop body
+        # produces ("Invalid relayout ... replicated in destination").
+        zero = pid_f * 0.0
+        one = zero + 1.0
+        false_v = pid_f < -1.0  # pids are non-negative -> all False
+
+        def flat(a):
+            return a.reshape(1, r_lanes)
+
+        def body(carry):
+            (alive, sample, bounce, ox, oy, oz, dx, dy, dz,
+             tp_r, tp_g, tp_b, rad_r, rad_g, rad_b, len_acc) = carry
+
+            # ---- refill dead lanes with their pixel's next sample ------
+            need = (~alive) & (sample < spp)
+            su = sample.astype(jnp.int32).astype(jnp.uint32)
+            ca, cb, cc, cd = _pcg4d(pid, su, np.uint32(CAMERA_STREAM), seed)
+            cu1, cu2 = _to_unit(ca), _to_unit(cb)
+            cu3, cu4 = _to_unit(cc), _to_unit(cd)
+            s_im = (px + cu1) / width
+            t_im = 1.0 - (py + cu2) / height
+            ru = jnp.sqrt(cu3)
+            phi = _TWO_PI * cu4
+            du = ru * jnp.cos(phi) * lens_r
+            dv = ru * jnp.sin(phi) * lens_r
+            gox = cox + du * ux + dv * vx
+            goy = coy + du * uy + dv * vy
+            goz = coz + du * uz + dv * vz
+            su_ = (2.0 * s_im - 1.0) * half_w * focus
+            tv = (2.0 * t_im - 1.0) * half_h * focus
+            tx = cox - focus * wx + su_ * ux + tv * vx - gox
+            ty = coy - focus * wy + su_ * uy + tv * vy - goy
+            tz = coz - focus * wz + su_ * uz + tv * vz - goz
+            ginv = _rsqrt_guard(tx * tx + ty * ty + tz * tz)
+
+            ox = jnp.where(need, gox, ox)
+            oy = jnp.where(need, goy, oy)
+            oz = jnp.where(need, goz, oz)
+            dx = jnp.where(need, tx * ginv, dx)
+            dy = jnp.where(need, ty * ginv, dy)
+            dz = jnp.where(need, tz * ginv, dz)
+            tp_r = jnp.where(need, 1.0, tp_r)
+            tp_g = jnp.where(need, 1.0, tp_g)
+            tp_b = jnp.where(need, 1.0, tp_b)
+            bounce = jnp.where(need, 0.0, bounce)
+            sample = jnp.where(need, sample + 1.0, sample)
+            alive = alive | need
+            # RNG stream ids for the CURRENT sample (sample counts starts).
+            cur_s = (sample - 1.0).astype(jnp.int32).astype(jnp.uint32)
+
+            len_acc = len_acc + jnp.where(alive, 1.0, 0.0)
+
+            # ---- intersect: dense (sphere, ray) VPU sweep -------------
+            # The sphere quadratic coefficients are rank-1 combinations of
+            # per-sphere columns (S,1) and per-ray rows (1,R); computing
+            # them as broadcast VPU fma chains beats the MXU here: a K=8
+            # f32 contraction pads to K=128 and needs 6 bf16 passes for
+            # f32 accuracy — a measured ~48x waste that made the matmul
+            # version 2x SLOWER than the v1 scalar-loop kernel.
+            #
+            # The quadratic uses the centered form oc = o - c:
+            #   hb = oc.d,  cq = |oc|^2 - r^2,  roots = -hb -+ sqrt(hb^2-cq)
+            # NOT the expanded |o|^2 - 2 o.c + (|c|^2 - r^2): a bounce ray
+            # starts exactly ON its sphere (true cq == 0), where the
+            # expanded form's cancellation noise is ~|o|^2*ulp and its
+            # SIGN depends on fma contraction — Mosaic contracts
+            # differently than XLA, which flipped self-hit classification
+            # on 9% of sphere pixels (measured).  The centered form's
+            # noise is ~r^2*ulp: conditioning, not rounding-luck.
+            dxr, dyr, dzr = flat(dx), flat(dy), flat(dz)
+            oxr, oyr, ozr = flat(ox), flat(oy), flat(oz)
+
+            packed_chunks = []
+            for c in range(n_chunks):
+                sl = slice(c * chunk, (c + 1) * chunk)
+                ocx = oxr - geom_ref[sl, 0:1]  # (chunk, R)
+                ocy = oyr - geom_ref[sl, 1:2]
+                ocz = ozr - geom_ref[sl, 2:3]
+                r2c = geom_ref[sl, 3:4]  # r^2; duds hold -1 (never hit)
+                hb = ocx * dxr + ocy * dyr + ocz * dzr
+                cq = (ocx * ocx + ocy * ocy + ocz * ocz) - r2c
+                sq = jnp.sqrt(hb * hb - cq)  # NaN on miss
+                rn = -hb - sq
+                rf = sq - hb
+                tn = jnp.where(rn > t_min, rn, rf)
+                valid = tn > t_min  # NaN compares false
+                idx = jax.lax.broadcasted_iota(
+                    jnp.int32, (chunk, r_lanes), 0) + np.int32(c * chunk)
+                bits = jax.lax.bitcast_convert_type(tn, jnp.int32)
+                packed = jnp.where(valid, (bits & _KEY_MASK) | idx, _NO_HIT)
+                packed_chunks.append(packed)
+            packed_all = (packed_chunks[0] if n_chunks == 1
+                          else jnp.concatenate(packed_chunks, axis=0))
+            best = jnp.min(packed_all, axis=0, keepdims=True)  # (1, R)
+
+            # ---- attribute gather: one-hot matmul, exact bf16 limbs ---
+            # One bf16 MXU pass per limb triple (products of an exact 0/1
+            # one-hot with bf16 limbs are exact; three limbs reassemble
+            # the f32 attribute bit-for-bit).  A single-pass f32-precise
+            # alternative does not exist on the MXU and HIGHEST costs 6
+            # passes on a 128-padded M — measured at ~1/3 of the frame.
+            # One-hot vs the winner INDEX (iota compare), not the packed
+            # key: comparing the full packed values miscompiled here (the
+            # gather silently returned hi-limb-only values; per-construct
+            # probes pass, so the trigger is context-dependent — an index
+            # compare sidesteps it and is cheaper anyway).
+            widx = best & _IDX_MASK  # (1, R)
+            sidx = jax.lax.broadcasted_iota(jnp.int32, (s_pad, r_lanes), 0)
+            onehot = jnp.where(sidx == widx, 1.0, 0.0
+                               ).astype(jnp.bfloat16)  # (S, R)
+            g3 = jnp.dot(attr_ref[:], onehot,
+                         preferred_element_type=jnp.float32)  # (48, R)
+            g = g3[0:16] + g3[16:32] + g3[32:48]
+            bcx = g[0].reshape(shape)
+            bcy = g[1].reshape(shape)
+            bcz = g[2].reshape(shape)
+            binv = g[3].reshape(shape)
+            bar = g[4].reshape(shape)
+            bag = g[5].reshape(shape)
+            bab = g[6].reshape(shape)
+            bkd = g[7].reshape(shape)
+            bfz = g[8].reshape(shape)
+            bio = g[9].reshape(shape)
+            br2 = g[10].reshape(shape)
+            # (reshape the i32 before comparing: Mosaic rejects i1 shape
+            # casts, same class of hazard as pallas_render's i1 notes.)
+            hit = best.reshape(shape) != _NO_HIT
+
+            # Exact nearest-t recompute for the winning sphere (the packed
+            # key zeroed IDX_BITS mantissa bits; 12 ops on the small tile
+            # restore full f32 t).  Same centered form as the sweep.  Dud
+            # rows gathered on miss are benign: every product below is
+            # finite and the result is masked.
+            rocx = ox - bcx
+            rocy = oy - bcy
+            rocz = oz - bcz
+            hb_r = rocx * dx + rocy * dy + rocz * dz
+            cq_r = (rocx * rocx + rocy * rocy + rocz * rocz) - br2
+            sq_r = jnp.sqrt(jnp.maximum(hb_r * hb_r - cq_r, 0.0))
+            rn_r = -hb_r - sq_r
+            rf_r = sq_r - hb_r
+            bt = jnp.where(rn_r > t_min, rn_r, rf_r)
+
+            t_safe = jnp.where(hit, bt, 0.0)
+            hx = ox + t_safe * dx
+            hy = oy + t_safe * dy
+            hz = oz + t_safe * dz
+            nx = jnp.where(hit, (hx - bcx) * binv, 0.0)
+            ny = jnp.where(hit, (hy - bcy) * binv, 0.0)
+            nz = jnp.where(hit, (hz - bcz) * binv, 1.0)
+            front = (dx * nx + dy * ny + dz * nz) < 0.0
+            sgn = jnp.where(front, 1.0, -1.0)
+            nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+
+            # ---- shade (identical math to pallas_render) --------------
+            ba, bb_, bc2, bd = _pcg4d(
+                pid, cur_s, bounce.astype(jnp.int32).astype(jnp.uint32), seed)
+            u1, u2, u3, u4 = (_to_unit(ba), _to_unit(bb_), _to_unit(bc2),
+                              _to_unit(bd))
+
+            zs = 1.0 - 2.0 * u1
+            rs = jnp.sqrt(jnp.maximum(0.0, 1.0 - zs * zs))
+            ph = _TWO_PI * u2
+            rux = rs * jnp.cos(ph)
+            ruy = rs * jnp.sin(ph)
+            ruz = zs
+
+            lx, ly, lz = nx + rux, ny + ruy, nz + ruz
+            lam_deg = (jnp.abs(lx) + jnp.abs(ly) + jnp.abs(lz)) < 1e-8
+            lx = jnp.where(lam_deg, nx, lx)
+            ly = jnp.where(lam_deg, ny, ly)
+            lz = jnp.where(lam_deg, nz, lz)
+            linv = _rsqrt_guard(lx * lx + ly * ly + lz * lz)
+            lx, ly, lz = lx * linv, ly * linv, lz * linv
+
+            ddn = dx * nx + dy * ny + dz * nz
+            rx = dx - 2.0 * ddn * nx
+            ry = dy - 2.0 * ddn * ny
+            rz = dz - 2.0 * ddn * nz
+            fz = bfz * _cbrt(u3)
+            mx, my, mz = rx + fz * rux, ry + fz * ruy, rz + fz * ruz
+            minv = _rsqrt_guard(mx * mx + my * my + mz * mz)
+            mx, my, mz = mx * minv, my * minv, mz * minv
+            met_ok = (mx * nx + my * ny + mz * nz) > 0.0
+
+            ratio = jnp.where(front, 1.0 / bio, bio)
+            cos_t = jnp.minimum(-(dx * nx + dy * ny + dz * nz), 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+            cannot = ratio * sin_t > 1.0
+            r0 = (1.0 - ratio) / (1.0 + ratio)
+            r0 = r0 * r0
+            m1 = 1.0 - cos_t
+            m2 = m1 * m1
+            schlick = r0 + (1.0 - r0) * (m2 * m2 * m1)
+            use_refl = cannot | (schlick > u4)
+            ppx = ratio * (dx + cos_t * nx)
+            ppy = ratio * (dy + cos_t * ny)
+            ppz = ratio * (dz + cos_t * nz)
+            kk = jnp.abs(1.0 - (ppx * ppx + ppy * ppy + ppz * ppz))
+            sqk = jnp.sqrt(kk)
+            gx = ppx - sqk * nx
+            gy = ppy - sqk * ny
+            gz = ppz - sqk * nz
+            ex = jnp.where(use_refl, rx, gx)
+            ey = jnp.where(use_refl, ry, gy)
+            ez = jnp.where(use_refl, rz, gz)
+            einv = _rsqrt_guard(ex * ex + ey * ey + ez * ez)
+            ex, ey, ez = ex * einv, ey * einv, ez * einv
+
+            is_lam = bkd < 0.5
+            is_met = (bkd > 0.5) & (bkd < 1.5)
+            is_die = bkd > 1.5
+            sx = jnp.where(is_lam, lx, jnp.where(is_met, mx, ex))
+            sy = jnp.where(is_lam, ly, jnp.where(is_met, my, ey))
+            sz = jnp.where(is_lam, lz, jnp.where(is_met, mz, ez))
+            at_r = jnp.where(is_die, 1.0, bar)
+            at_g = jnp.where(is_die, 1.0, bag)
+            at_b = jnp.where(is_die, 1.0, bab)
+            scat_ok = (~is_met) | met_ok
+
+            tsky = 0.5 * (dy + 1.0)
+            sk_r = 1.0 - 0.5 * tsky
+            sk_g = 1.0 - 0.3 * tsky
+            add = alive & ~hit
+            rad_r = rad_r + jnp.where(add, tp_r * sk_r, 0.0)
+            rad_g = rad_g + jnp.where(add, tp_g * sk_g, 0.0)
+            rad_b = rad_b + jnp.where(add, tp_b, 0.0)
+
+            scat = alive & hit
+            tp_r = jnp.where(scat, tp_r * at_r, tp_r)
+            tp_g = jnp.where(scat, tp_g * at_g, tp_g)
+            tp_b = jnp.where(scat, tp_b * at_b, tp_b)
+            bounce = bounce + 1.0
+            # Depth exhaustion kills with black, `shade.wgsl:236-238`.
+            alive = scat & scat_ok & (bounce < max_depth)
+
+            ox = jnp.where(alive, hx, ox)
+            oy = jnp.where(alive, hy, oy)
+            oz = jnp.where(alive, hz, oz)
+            dx = jnp.where(alive, sx, dx)
+            dy = jnp.where(alive, sy, dy)
+            dz = jnp.where(alive, sz, dz)
+            if debug_expr == 'winner':
+                len_acc = (best & _IDX_MASK).reshape(shape).astype(jnp.float32)
+            elif debug_expr == 'bt':
+                len_acc = bt
+            elif debug_expr == 'kind':
+                len_acc = bkd
+            elif debug_expr == 'albr':
+                len_acc = bar
+            elif debug_expr == 'u1':
+                len_acc = u1
+            elif debug_expr == 'nx':
+                len_acc = nx
+            elif debug_expr == 'lx':
+                len_acc = lx
+            elif debug_expr == 'mx':
+                len_acc = mx
+            elif debug_expr == 'ex':
+                len_acc = ex
+            elif debug_expr == 'sx':
+                len_acc = sx
+            elif debug_expr == 'hitf':
+                len_acc = jnp.where(hit, 1.0, 0.0)
+            elif debug_expr == 'bcx':
+                len_acc = bcx
+            elif debug_expr == 'br2':
+                len_acc = br2
+            elif debug_expr == 'binv':
+                len_acc = binv
+            elif debug_expr == 'btm':
+                len_acc = jnp.where(hit, bt, 0.0)
+            elif debug_expr == 'hx':
+                len_acc = hx
+            return (alive, sample, bounce, ox, oy, oz, dx, dy, dz,
+                    tp_r, tp_g, tp_b, rad_r, rad_g, rad_b, len_acc)
+
+        # Mosaic legalizes vector carries for scf.for but NOT scf.while
+        # ('failed to legalize scf.yield'), so the per-lane state rides in
+        # VMEM scratch refs and the while carries one scalar work flag
+        # (alive encoded as f32 0/1 — i1 stores are also rejected).
+        init = (false_v, zero, zero,
+                zero, zero, zero, zero, zero, one,
+                one, one, one, zero, zero, zero, zero)
+        for r, v in zip(state_refs, init[1:]):
+            r[:] = v
+        alive_ref[:] = zero
+
+        def ref_cond(carry):
+            work, it = carry
+            if max_rounds:
+                return (work > 0) & (it < max_rounds)
+            return work > 0
+
+        def ref_body(carry):
+            _, it = carry
+            state = (alive_ref[:] > 0.5,) + tuple(r[:] for r in state_refs)
+            out = body(state)
+            alive_ref[:] = jnp.where(out[0], 1.0, 0.0)
+            for r, v in zip(state_refs, out[1:]):
+                r[:] = v
+            work = out[0] | (out[1] < spp)
+            return (jnp.max(jnp.where(work, 1, 0)), it + 1)
+
+        jax.lax.while_loop(ref_cond, ref_body,
+                           (jnp.int32(1), jnp.int32(0)))
+        if dump is None:
+            fb_r[:] = state_refs[11][:]
+            fb_g[:] = state_refs[12][:]
+            fb_b[:] = state_refs[13][:]
+            fb_len[:] = state_refs[14][:]
+        else:
+            # Debug: dump chosen state planes (-1 = alive) instead of fb.
+            outs = (fb_r, fb_g, fb_b, fb_len)
+            for o, di in zip(outs, dump):
+                o[:] = alive_ref[:] if di < 0 else state_refs[di][:]
+
+    return kernel
+
+
+def _scene_matrices(scene, s_pad):
+    """Scene -> (geom [S,8] f32, attr limbs [48,S] bf16) kernel operands.
+
+    geom columns: [cx, cy, cz, r^2, 0...] — consumed as (S,1) broadcast
+    columns by the dense VPU intersection sweep.  attrs are split into
+    three bf16 limbs (hi, mid, lo with f32 = hi+mid+lo exactly) so the
+    one-hot gather matmul runs in ONE bf16 MXU pass yet reassembles
+    attribute values bit-exactly.
+    """
+    n = scene.count
+    centers = scene.centers
+    radii = scene.radii
+    m = scene.materials
+    kind_f = m.kind[scene.material_id].astype(jnp.float32)
+    fuzz = m.fuzz[scene.material_id]
+    ior = m.ior[scene.material_id]
+    albedo = m.albedo[scene.material_id]
+
+    def padded(v, fill=0.0):
+        return jnp.concatenate(
+            [v, jnp.full((s_pad - n,), fill, jnp.float32)])
+
+    cx = padded(centers[:, 0])
+    cy = padded(centers[:, 1])
+    cz = padded(centers[:, 2])
+    # Dud rows: r^2 = -1 makes cq = |oc|^2 + 1 > hb^2 -> NaN sqrt ->
+    # never a hit (no huge-magnitude sentinel needed).
+    r2p = padded(radii * radii, -1.0)
+    z = jnp.zeros((s_pad,), jnp.float32)
+    geom = jnp.stack([cx, cy, cz, r2p, z, z, z, z], axis=1)  # (S, 8)
+    attrs = jnp.stack([
+        cx, cy, cz, padded(1.0 / radii, 1.0),
+        padded(albedo[:, 0]), padded(albedo[:, 1]), padded(albedo[:, 2]),
+        padded(kind_f), padded(fuzz), padded(ior, 1.0), r2p,
+        z, z, z, z, z,
+    ])  # (16, S)
+    # Limb split via bit masking, NOT dtype casts: under TPU XLA's
+    # --xla_allow_excess_precision=true the round-trip `a - bf16(a)` is
+    # legally folded to zero (verified on hardware — the gather silently
+    # became hi-limb-only).  Truncating the low 16 mantissa bits with
+    # integer ops cannot be folded; each masked residual is exactly
+    # bf16-representable, so hi+mid+lo still reassembles f32 exactly.
+    def trunc16(v):
+        bits = jax.lax.bitcast_convert_type(v, jnp.int32)
+        return jax.lax.bitcast_convert_type(
+            bits & np.int32(~0xFFFF), jnp.float32)
+
+    hi32 = trunc16(attrs)
+    r1 = attrs - hi32
+    mid32 = trunc16(r1)
+    lo32 = r1 - mid32
+    limbs = jnp.concatenate([
+        hi32.astype(jnp.bfloat16),
+        mid32.astype(jnp.bfloat16),
+        lo32.astype(jnp.bfloat16),
+    ], axis=0)  # (48, S) bf16
+    return geom, limbs
+
+
+def render_mxu(
+    scene,
+    camera,
+    config: RenderConfig,
+    frame=0,
+    interpret: bool = False,
+    tile_rows: int = TILE_ROWS,
+    sphere_chunk: int = SPHERE_CHUNK,
+    perm=None,
+):
+    """Forward render on the v3 kernel -> linear float32 [H, W, 3].
+
+    `perm`: optional int32 [num_pixels] permutation of absolute pixel ids
+    (from `balance_perm`); lanes render perm[i] and the framebuffer is
+    scattered back, so the image is bit-identical for any perm.
+    """
+    img, _ = render_mxu_with_len(
+        scene, camera, config, frame, interpret=interpret,
+        tile_rows=tile_rows, sphere_chunk=sphere_chunk, perm=perm)
+    return img
+
+
+def render_mxu_lanes(
+    scene,
+    camera,
+    config: RenderConfig,
+    pid_grid,
+    frame=0,
+    interpret: bool = False,
+    tile_rows: int = TILE_ROWS,
+    sphere_chunk: int = SPHERE_CHUNK,
+    max_rounds: int = 0,
+    dump=None,
+    debug_expr=None,
+):
+    """Raw lane-slot render: `pid_grid` int32 [n_tiles*tile_rows, 128]
+    holds the ABSOLUTE pixel id each lane renders (values may be traced —
+    e.g. offset by a shard_map axis_index).  Returns (fb [p_pad, 3],
+    len [p_pad]) in lane-slot order, already divided by spp."""
+    n_rows = pid_grid.shape[0]
+    n_tiles = n_rows // tile_rows
+    p_pad = n_rows * 128
+    s_pad = max(-(-scene.count // sphere_chunk), 1) * sphere_chunk
+
+    geom, limbs = _scene_matrices(scene, s_pad)
+
+    cam = jnp.concatenate([
+        camera.origin.reshape(-1), camera.u.reshape(-1),
+        camera.v.reshape(-1), camera.w.reshape(-1),
+        camera.half_width.reshape(-1), camera.half_height.reshape(-1),
+        camera.lens_radius.reshape(-1), camera.focus_dist.reshape(-1),
+    ]).astype(jnp.float32)
+    with np.errstate(over="ignore"):
+        seed = np.uint32(config.seed) + np.uint32(FRAME_MIX) * (
+            np.uint32(frame) if isinstance(frame, int)
+            else frame.astype(jnp.uint32))
+    seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1)
+
+    kernel = _make_kernel(config, s_pad, tile_rows, sphere_chunk,
+                          max_rounds=max_rounds, dump=dump,
+                          debug_expr=debug_expr)
+    out_shape = jax.ShapeDtypeStruct((n_rows, 128), jnp.float32)
+    fb_spec = pl.BlockSpec((tile_rows, 128), lambda t: (t, 0),
+                           memory_space=pltpu.VMEM)
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+
+    fb_r, fb_g, fb_b, fb_len = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[vmem(), vmem(), smem(), smem(),
+                  pl.BlockSpec((tile_rows, 128), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(fb_spec,) * 4,
+        out_shape=(out_shape,) * 4,
+        # alive + 15 per-lane state planes (see _make_kernel: scf.while
+        # cannot carry vectors, so the round loop's state lives here).
+        scratch_shapes=[pltpu.VMEM((tile_rows, 128), jnp.float32)
+                        for _ in range(16)],
+        interpret=interpret,
+    )(geom, limbs, cam, seed_arr, pid_grid)
+
+    inv_spp = np.float32(1.0 / config.samples_per_pixel)
+    fb = jnp.stack([fb_r.reshape(-1), fb_g.reshape(-1), fb_b.reshape(-1)],
+                   axis=-1) * inv_spp
+    ln = fb_len.reshape(-1) * inv_spp
+    return fb, ln
+
+
+def lane_pad(num_pixels: int, tile_rows: int = TILE_ROWS) -> int:
+    """Lane-slot count for `num_pixels` (rounded up to whole tiles)."""
+    tile_px = tile_rows * 128
+    return -(-num_pixels // tile_px) * tile_px
+
+
+def render_mxu_with_len(
+    scene,
+    camera,
+    config: RenderConfig,
+    frame=0,
+    interpret: bool = False,
+    tile_rows: int = TILE_ROWS,
+    sphere_chunk: int = SPHERE_CHUNK,
+    perm=None,
+):
+    """As `render_mxu`, also returning per-pixel mean path length [H, W]
+    (the cost map that drives `balance_perm`)."""
+    num_pixels = config.num_pixels
+    if config.max_depth <= 0:
+        # Depth 0 = no path segments at all (`lax.scan` over zero rounds
+        # in the XLA path); the refill loop always runs >= 1 round, so
+        # short-circuit here.
+        return (jnp.zeros((config.height, config.width, 3), jnp.float32),
+                jnp.zeros((config.height, config.width), jnp.float32))
+    p_pad = lane_pad(num_pixels, tile_rows)
+
+    if perm is None:
+        pids = jnp.arange(p_pad, dtype=jnp.int32)
+    else:
+        pids = jnp.concatenate([
+            jnp.asarray(perm, jnp.int32),
+            jnp.arange(num_pixels, p_pad, dtype=jnp.int32),
+        ])
+
+    fb, ln = render_mxu_lanes(
+        scene, camera, config, pids.reshape(p_pad // 128, 128), frame,
+        interpret=interpret, tile_rows=tile_rows, sphere_chunk=sphere_chunk)
+
+    # Scatter lane slots back to their absolute pixels (no-op for the
+    # identity perm; drops the padding lanes either way).
+    img = jnp.zeros((num_pixels, 3), jnp.float32)
+    img = img.at[pids[:num_pixels]].set(fb[:num_pixels])
+    lmap = jnp.zeros((num_pixels,), jnp.float32)
+    lmap = lmap.at[pids[:num_pixels]].set(ln[:num_pixels])
+    return (img.reshape(config.height, config.width, 3),
+            lmap.reshape(config.height, config.width))
+
+
+def balance_perm(len_map):
+    """Pixel permutation sorting by measured path length.
+
+    Lanes of one tile then share similar per-sample cost, so the refill
+    loop's round count tracks the tile MEAN path length instead of its
+    max (measured 2.6 vs 6.3 on the bench scene — the whole wavefront
+    finishes ~2.4x fewer rounds).
+    """
+    return jnp.argsort(len_map.reshape(-1)).astype(jnp.int32)
+
+
+def render_mxu_balanced(scene, camera, config: RenderConfig, frame=0,
+                        probe_spp: int = 1, interpret: bool = False,
+                        tile_rows: int = TILE_ROWS,
+                        sphere_chunk: int = SPHERE_CHUNK):
+    """Probe (probe_spp samples, identity layout) -> cost-sorted full
+    render.  Image is bit-identical to `render_mxu(...)` without balancing;
+    the probe only chooses the schedule."""
+    import dataclasses
+
+    probe_cfg = dataclasses.replace(config, samples_per_pixel=probe_spp,
+                                    spp_chunk=0)
+    _, len_map = render_mxu_with_len(
+        scene, camera, config=probe_cfg, frame=frame, interpret=interpret,
+        tile_rows=tile_rows, sphere_chunk=sphere_chunk)
+    perm = balance_perm(len_map)
+    return render_mxu(scene, camera, config, frame, interpret=interpret,
+                      tile_rows=tile_rows, sphere_chunk=sphere_chunk,
+                      perm=perm)
