@@ -85,8 +85,8 @@ _NO_HIT = np.int32(np.iinfo(np.int32).max)
 
 
 def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
-                 chunk: int, max_rounds: int = 0, dump=None,
-                 debug_expr=None):
+                 chunk: int, sample_base: int = 0, max_rounds: int = 0,
+                 dump=None, debug_expr=None):
     width = np.float32(config.width)
     height = np.float32(config.height)
     t_min = np.float32(config.t_min)
@@ -95,6 +95,10 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
     # in source"); f32 is exact for counts < 2^24.
     max_depth = np.float32(config.max_depth)
     spp = np.float32(config.samples_per_pixel)
+    # Absolute sample-id offset: RNG counters use sample_base + local
+    # sample index, so a render of samples [base, base+spp) draws exactly
+    # the same paths those samples draw in a single full-spp render.
+    base_f = np.float32(sample_base)
     n_chunks = s_pad // chunk
     shape = (tile_rows, 128)
     r_lanes = tile_rows * 128
@@ -125,13 +129,19 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
         def flat(a):
             return a.reshape(1, r_lanes)
 
+        # Loop-invariant hoist: the one-hot's sphere-index grid.  (Also
+        # tried and reverted: pre-broadcasting the sphere columns to
+        # (chunk, R) — measured 8% SLOWER than letting Mosaic broadcast
+        # the (S,1) columns at use.)
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (s_pad, r_lanes), 0)
+
         def body(carry):
             (alive, sample, bounce, ox, oy, oz, dx, dy, dz,
              tp_r, tp_g, tp_b, rad_r, rad_g, rad_b, len_acc) = carry
 
             # ---- refill dead lanes with their pixel's next sample ------
             need = (~alive) & (sample < spp)
-            su = sample.astype(jnp.int32).astype(jnp.uint32)
+            su = (sample + base_f).astype(jnp.int32).astype(jnp.uint32)
             ca, cb, cc, cd = _pcg4d(pid, su, np.uint32(CAMERA_STREAM), seed)
             cu1, cu2 = _to_unit(ca), _to_unit(cb)
             cu3, cu4 = _to_unit(cc), _to_unit(cd)
@@ -164,7 +174,8 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
             sample = jnp.where(need, sample + 1.0, sample)
             alive = alive | need
             # RNG stream ids for the CURRENT sample (sample counts starts).
-            cur_s = (sample - 1.0).astype(jnp.int32).astype(jnp.uint32)
+            cur_s = (sample - 1.0 + base_f).astype(jnp.int32).astype(
+                jnp.uint32)
 
             len_acc = len_acc + jnp.where(alive, 1.0, 0.0)
 
@@ -202,6 +213,9 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                 rf = sq - hb
                 tn = jnp.where(rn > t_min, rn, rf)
                 valid = tn > t_min  # NaN compares false
+                # (sliced views of the hoisted iota crash Mosaic's
+                # vector_extract_strided_slice inside scf.while; a fresh
+                # in-body iota is fine.)
                 idx = jax.lax.broadcasted_iota(
                     jnp.int32, (chunk, r_lanes), 0) + np.int32(c * chunk)
                 bits = jax.lax.bitcast_convert_type(tn, jnp.int32)
@@ -217,13 +231,9 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
             # the f32 attribute bit-for-bit).  A single-pass f32-precise
             # alternative does not exist on the MXU and HIGHEST costs 6
             # passes on a 128-padded M — measured at ~1/3 of the frame.
-            # One-hot vs the winner INDEX (iota compare), not the packed
-            # key: comparing the full packed values miscompiled here (the
-            # gather silently returned hi-limb-only values; per-construct
-            # probes pass, so the trigger is context-dependent — an index
-            # compare sidesteps it and is cheaper anyway).
+            # One-hot vs the winner INDEX (hoisted iota compare) — the
+            # index is unique by construction, so exactly one row matches.
             widx = best & _IDX_MASK  # (1, R)
-            sidx = jax.lax.broadcasted_iota(jnp.int32, (s_pad, r_lanes), 0)
             onehot = jnp.where(sidx == widx, 1.0, 0.0
                                ).astype(jnp.bfloat16)  # (S, R)
             g3 = jnp.dot(attr_ref[:], onehot,
@@ -420,9 +430,15 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
             work = out[0] | (out[1] < spp)
             return (jnp.max(jnp.where(work, 1, 0)), it + 1)
 
-        jax.lax.while_loop(ref_cond, ref_body,
-                           (jnp.int32(1), jnp.int32(0)))
-        if dump is None:
+        wout = jax.lax.while_loop(ref_cond, ref_body,
+                                  (jnp.int32(1), jnp.int32(0)))
+        if debug_expr == 'rounds':
+            # Per-tile round count, broadcast over the len plane.
+            fb_r[:] = state_refs[11][:]
+            fb_g[:] = state_refs[12][:]
+            fb_b[:] = state_refs[13][:]
+            fb_len[:] = zero + wout[1].astype(jnp.float32)
+        elif dump is None:
             fb_r[:] = state_refs[11][:]
             fb_g[:] = state_refs[12][:]
             fb_b[:] = state_refs[13][:]
@@ -526,6 +542,7 @@ def render_mxu_lanes(
     interpret: bool = False,
     tile_rows: int = TILE_ROWS,
     sphere_chunk: int = SPHERE_CHUNK,
+    sample_base: int = 0,
     max_rounds: int = 0,
     dump=None,
     debug_expr=None,
@@ -554,8 +571,8 @@ def render_mxu_lanes(
     seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1)
 
     kernel = _make_kernel(config, s_pad, tile_rows, sphere_chunk,
-                          max_rounds=max_rounds, dump=dump,
-                          debug_expr=debug_expr)
+                          sample_base=sample_base, max_rounds=max_rounds,
+                          dump=dump, debug_expr=debug_expr)
     out_shape = jax.ShapeDtypeStruct((n_rows, 128), jnp.float32)
     fb_spec = pl.BlockSpec((tile_rows, 128), lambda t: (t, 0),
                            memory_space=pltpu.VMEM)
@@ -599,6 +616,7 @@ def render_mxu_with_len(
     tile_rows: int = TILE_ROWS,
     sphere_chunk: int = SPHERE_CHUNK,
     perm=None,
+    sample_base: int = 0,
 ):
     """As `render_mxu`, also returning per-pixel mean path length [H, W]
     (the cost map that drives `balance_perm`)."""
@@ -621,7 +639,8 @@ def render_mxu_with_len(
 
     fb, ln = render_mxu_lanes(
         scene, camera, config, pids.reshape(p_pad // 128, 128), frame,
-        interpret=interpret, tile_rows=tile_rows, sphere_chunk=sphere_chunk)
+        interpret=interpret, tile_rows=tile_rows, sphere_chunk=sphere_chunk,
+        sample_base=sample_base)
 
     # Scatter lane slots back to their absolute pixels (no-op for the
     # identity perm; drops the padding lanes either way).
@@ -645,20 +664,40 @@ def balance_perm(len_map):
 
 
 def render_mxu_balanced(scene, camera, config: RenderConfig, frame=0,
-                        probe_spp: int = 1, interpret: bool = False,
+                        probe_spp: int = 16, interpret: bool = False,
                         tile_rows: int = TILE_ROWS,
-                        sphere_chunk: int = SPHERE_CHUNK):
-    """Probe (probe_spp samples, identity layout) -> cost-sorted full
-    render.  Image is bit-identical to `render_mxu(...)` without balancing;
-    the probe only chooses the schedule."""
+                        sphere_chunk: int = SPHERE_CHUNK,
+                        probe_reuse: bool = True):
+    """Probe (probe_spp samples, identity layout) -> cost-sorted render.
+
+    With `probe_reuse` (default) the probe's samples COUNT: the probe
+    renders samples [0, probe_spp), the balanced main pass renders
+    [probe_spp, spp), and the two accumulations are averaged — the probe
+    is then almost free, so it can afford enough samples (16) to sort
+    accurately.  Every path is identical to the plain render's; only the
+    per-pixel summation association differs (allclose at f32, not
+    bit-equal).  With probe_reuse=False the probe is discarded and the
+    image is bit-identical to `render_mxu(...)`.
+    """
     import dataclasses
 
+    probe_spp = min(probe_spp, config.samples_per_pixel)
     probe_cfg = dataclasses.replace(config, samples_per_pixel=probe_spp,
                                     spp_chunk=0)
-    _, len_map = render_mxu_with_len(
+    probe_img, len_map = render_mxu_with_len(
         scene, camera, config=probe_cfg, frame=frame, interpret=interpret,
         tile_rows=tile_rows, sphere_chunk=sphere_chunk)
     perm = balance_perm(len_map)
-    return render_mxu(scene, camera, config, frame, interpret=interpret,
-                      tile_rows=tile_rows, sphere_chunk=sphere_chunk,
-                      perm=perm)
+    if not probe_reuse or probe_spp == config.samples_per_pixel:
+        return render_mxu(scene, camera, config, frame, interpret=interpret,
+                          tile_rows=tile_rows, sphere_chunk=sphere_chunk,
+                          perm=perm)
+    rest = config.samples_per_pixel - probe_spp
+    rest_cfg = dataclasses.replace(config, samples_per_pixel=rest,
+                                   spp_chunk=0)
+    rest_img, _ = render_mxu_with_len(
+        scene, camera, config=rest_cfg, frame=frame, interpret=interpret,
+        tile_rows=tile_rows, sphere_chunk=sphere_chunk, perm=perm,
+        sample_base=probe_spp)
+    w = np.float32(1.0 / config.samples_per_pixel)
+    return (probe_img * (w * probe_spp)) + (rest_img * (w * rest))

@@ -198,3 +198,18 @@ def test_mxu_sharded_indivisible_raises():
     cam = baseline_config1_camera(cfg.aspect)
     with pytest.raises(ValueError, match="divide"):
         render_mxu_sharded(scene, cam, cfg, make_mesh(), interpret=True)
+
+
+def test_mxu_probe_reuse_allclose():
+    """Probe-reuse mode renders the SAME paths, summed in two groups:
+    allclose at f32 to the plain render (and to non-reuse balanced)."""
+    cfg = RenderConfig(width=64, height=32, samples_per_pixel=8, max_depth=4)
+    scene, _ = baseline_config2_scene()
+    cam = baseline_config2_camera(cfg.aspect)
+    plain = np.asarray(render_mxu(scene, cam, cfg, interpret=True))
+    reuse = np.asarray(render_mxu_balanced(
+        scene, cam, cfg, interpret=True, probe_spp=2, probe_reuse=True))
+    np.testing.assert_allclose(reuse, plain, atol=1e-5)
+    exact = np.asarray(render_mxu_balanced(
+        scene, cam, cfg, interpret=True, probe_spp=2, probe_reuse=False))
+    np.testing.assert_array_equal(exact, plain)
