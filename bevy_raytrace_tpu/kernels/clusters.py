@@ -53,11 +53,14 @@ class ClusterPlan:
 
     perm: np.ndarray  # [C*L] int32, indices into the scene (duplicated pad)
     member_mask: np.ndarray  # [C, L] float32, 1 = real member, 0 = pad
+    prio: np.ndarray  # [K] int32, "priority" spheres (largest |r|): their
+    # live hit t gives the per-lane nearest-t upper bound for culling
     cluster_size: int
     n_clusters: int
 
 
-def cluster_scene(scene, cluster_size: int = 12) -> ClusterPlan:
+def cluster_scene(scene, cluster_size: int = 12, n_prio: int = 4
+                  ) -> ClusterPlan:
     """Build a ClusterPlan from a *concrete* scene (host numpy).
 
     Spheres are sorted by the Morton code of their quantized (x, z)
@@ -83,8 +86,10 @@ def cluster_scene(scene, cluster_size: int = 12) -> ClusterPlan:
     # pad slots repeat the last real sphere; the mask keeps them out of the
     # bounds, and the kernel's dud handling keeps them out of hits.
     perm[n:] = order[-1]
+    radii = np.abs(np.asarray(scene.radii))
+    prio = np.argsort(-radii, kind="stable")[: min(n_prio, n)].astype(np.int32)
     return ClusterPlan(
-        perm=perm, member_mask=mask, cluster_size=L, n_clusters=C
+        perm=perm, member_mask=mask, prio=prio, cluster_size=L, n_clusters=C
     )
 
 

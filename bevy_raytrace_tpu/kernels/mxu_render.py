@@ -75,6 +75,11 @@ from bevy_raytrace_tpu.kernels.pallas_render import (
 
 TILE_ROWS = 8
 SPHERE_CHUNK = 256
+# round_unroll > 1 measured SLOWER on v5e (register/scheduling pathology
+# chaining bodies); per-round loop overhead is only ~0.2us marginal once
+# the ~26us fixed per-TILE cost is accounted, so 1 is right.
+ROUND_UNROLL = 1
+V_PLANES = 4
 # Packed nearest-hit key: f32 t bits with the low IDX_BITS replaced by the
 # sphere index.  Ties resolve to the lowest index — the reference's
 # strict-< first-wins scan order (`intersect.wgsl:137-141`).
@@ -86,7 +91,10 @@ _NO_HIT = np.int32(np.iinfo(np.int32).max)
 
 def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                  chunk: int, sample_base: int = 0, max_rounds: int = 0,
-                 dump=None, debug_expr=None):
+                 n_cull: int = 0, n_prio: int = 0, round_unroll: int = 1,
+                 v_planes: int = 1, dump=None, debug_expr=None):
+    if (dump is not None or debug_expr) and v_planes != 1:
+        raise ValueError("debug probes require v_planes == 1")
     width = np.float32(config.width)
     height = np.float32(config.height)
     t_min = np.float32(config.t_min)
@@ -99,17 +107,51 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
     # sample index, so a render of samples [base, base+spp) draws exactly
     # the same paths those samples draw in a single full-spp render.
     base_f = np.float32(sample_base)
+    # Deep tiles: each lane serves `v_planes` pixels, one after another —
+    # its sample counter spans [0, v_planes * spp) and the active pixel is
+    # plane floor(sample/spp).  Pooling v_planes*spp samples per lane
+    # shrinks the per-lane round-count variance ~v_planes-fold, so a
+    # tile's stragglers (its slowest lane sets its round count) cost far
+    # less.  Per-pixel accumulation order is unchanged -> bit-identical
+    # to v_planes == 1 (tested).
+    spp_total = np.float32(config.samples_per_pixel * v_planes)
     n_chunks = s_pad // chunk
     shape = (tile_rows, 128)
     r_lanes = tile_rows * 128
+    culled = n_cull > 0
+    # Cull-chunk hit bits fold into int32 lane words (30 usable bits), so
+    # phase A costs ONE vector->scalar sync per word per round — the same
+    # trick as pallas_render's clustered phase A.
+    _BPW = 30
+    n_words = -(-n_cull // _BPW) if culled else 0
 
-    def kernel(geom_ref, attr_ref, cam_ref, seed_ref, pid_ref,
-               fb_r, fb_g, fb_b, fb_len, alive_ref, *state_refs):
+    def kernel(geom_ref, attr_ref, cam_ref, seed_ref, *rest):
+        if culled:
+            bnd_ref, prio_ref, pid_ref, fb_r, fb_g, fb_b, fb_len, \
+                alive_ref, *state_refs = rest
+            *state_refs, list_ref, count_ref = state_refs
+        else:
+            pid_ref, fb_r, fb_g, fb_b, fb_len, alive_ref, *state_refs = rest
         seed = seed_ref[0]
-        pid = pid_ref[:].astype(jnp.uint32)
-        pid_f = pid_ref[:].astype(jnp.float32)
-        py = jnp.floor(pid_f / width)
-        px = pid_f - py * width
+        pid_fs = [
+            pid_ref[v * tile_rows:(v + 1) * tile_rows, :].astype(jnp.float32)
+            for v in range(v_planes)
+        ]
+        pid_f = pid_fs[0]
+
+        def plane_pid(sval):
+            """Pixel id (f32, exact < 2^24) of sample index `sval`."""
+            pf = pid_fs[0]
+            for v in range(1, v_planes):
+                pf = jnp.where(sval >= v * spp, pid_fs[v], pf)
+            return pf
+
+        def plane_sloc(sval):
+            """Per-pixel (local) sample index of sample index `sval`."""
+            sl = sval
+            for v in range(1, v_planes):
+                sl = jnp.where(sval >= v * spp, sval - v * spp, sl)
+            return sl
 
         cox, coy, coz = cam_ref[0], cam_ref[1], cam_ref[2]
         ux, uy, uz = cam_ref[3], cam_ref[4], cam_ref[5]
@@ -125,6 +167,21 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
         zero = pid_f * 0.0
         one = zero + 1.0
         false_v = pid_f < -1.0  # pids are non-negative -> all False
+        izero = jnp.where(false_v, 1, 0)  # int32 zeros, varying layout
+
+        def or_all(a):
+            # OR-tree across lanes+sublanes; afterwards every element holds
+            # the tile-wide OR, so one scalar reduce reads it out (the one
+            # vector->scalar sync per word).
+            sh = 64
+            while sh >= 1:
+                a = a | pltpu.roll(a, sh, axis=1)
+                sh //= 2
+            sh = tile_rows // 2
+            while sh >= 1:
+                a = a | pltpu.roll(a, sh, axis=0)
+                sh //= 2
+            return jnp.max(a)
 
         def flat(a):
             return a.reshape(1, r_lanes)
@@ -137,12 +194,34 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
 
         def body(carry):
             (alive, sample, bounce, ox, oy, oz, dx, dy, dz,
-             tp_r, tp_g, tp_b, rad_r, rad_g, rad_b, len_acc) = carry
+             tp_r, tp_g, tp_b, *acc) = carry
+            rad_rs = list(acc[0:v_planes])
+            rad_gs = list(acc[v_planes:2 * v_planes])
+            rad_bs = list(acc[2 * v_planes:3 * v_planes])
+            lens = list(acc[3 * v_planes:4 * v_planes])
+            rad_r, rad_g, rad_b = rad_rs[0], rad_gs[0], rad_bs[0]
+            len_acc = lens[0]
+
+            def repack(alive, sample, bounce, ox, oy, oz, dx, dy, dz,
+                       tp_r, tp_g, tp_b):
+                return (alive, sample, bounce, ox, oy, oz, dx, dy, dz,
+                        tp_r, tp_g, tp_b, *rad_rs, *rad_gs, *rad_bs, *lens)
+
+            if debug_expr and debug_expr.startswith('loop_only'):
+                # Timing probe: pure loop scaffolding + state I/O.
+                return repack(alive, sample + 1.0, bounce, ox, oy, oz,
+                              dx, dy, dz, tp_r, tp_g, tp_b)
 
             # ---- refill dead lanes with their pixel's next sample ------
-            need = (~alive) & (sample < spp)
-            su = (sample + base_f).astype(jnp.int32).astype(jnp.uint32)
-            ca, cb, cc, cd = _pcg4d(pid, su, np.uint32(CAMERA_STREAM), seed)
+            need = (~alive) & (sample < spp_total)
+            pid_new = plane_pid(sample)
+            py = jnp.floor(pid_new / width)
+            px = pid_new - py * width
+            pid_new_u = pid_new.astype(jnp.int32).astype(jnp.uint32)
+            su = (plane_sloc(sample) + base_f).astype(jnp.int32).astype(
+                jnp.uint32)
+            ca, cb, cc, cd = _pcg4d(pid_new_u, su,
+                                    np.uint32(CAMERA_STREAM), seed)
             cu1, cu2 = _to_unit(ca), _to_unit(cb)
             cu3, cu4 = _to_unit(cc), _to_unit(cd)
             s_im = (px + cu1) / width
@@ -174,10 +253,25 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
             sample = jnp.where(need, sample + 1.0, sample)
             alive = alive | need
             # RNG stream ids for the CURRENT sample (sample counts starts).
-            cur_s = (sample - 1.0 + base_f).astype(jnp.int32).astype(
+            act = sample - 1.0
+            pid = plane_pid(act).astype(jnp.int32).astype(jnp.uint32)
+            cur_s = (plane_sloc(act) + base_f).astype(jnp.int32).astype(
                 jnp.uint32)
+            # Active-plane masks for the per-plane accumulators.
+            if v_planes == 1:
+                pms = [None]
+            else:
+                pms = [(act >= v * spp) & (act < (v + 1) * spp)
+                       for v in range(v_planes)]
 
-            len_acc = len_acc + jnp.where(alive, 1.0, 0.0)
+            def plane_add(accs, cond, vals):
+                for v in range(v_planes):
+                    cv = cond if pms[v] is None else (cond & pms[v])
+                    accs[v] = accs[v] + jnp.where(cv, vals, 0.0)
+
+            if debug_expr != 'livechunks':
+                plane_add(lens, alive, 1.0)
+                len_acc = lens[0]
 
             # ---- intersect: dense (sphere, ray) VPU sweep -------------
             # The sphere quadratic coefficients are rank-1 combinations of
@@ -199,13 +293,8 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
             dxr, dyr, dzr = flat(dx), flat(dy), flat(dz)
             oxr, oyr, ozr = flat(ox), flat(oy), flat(oz)
 
-            packed_chunks = []
-            for c in range(n_chunks):
-                sl = slice(c * chunk, (c + 1) * chunk)
-                ocx = oxr - geom_ref[sl, 0:1]  # (chunk, R)
-                ocy = oyr - geom_ref[sl, 1:2]
-                ocz = ozr - geom_ref[sl, 2:3]
-                r2c = geom_ref[sl, 3:4]  # r^2; duds hold -1 (never hit)
+            def chunk_packed(ocx, ocy, ocz, r2c, idx):
+                """Dense (chunk, R) sweep -> packed nearest-hit keys."""
                 hb = ocx * dxr + ocy * dyr + ocz * dzr
                 cq = (ocx * ocx + ocy * ocy + ocz * ocz) - r2c
                 sq = jnp.sqrt(hb * hb - cq)  # NaN on miss
@@ -213,17 +302,117 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                 rf = sq - hb
                 tn = jnp.where(rn > t_min, rn, rf)
                 valid = tn > t_min  # NaN compares false
-                # (sliced views of the hoisted iota crash Mosaic's
-                # vector_extract_strided_slice inside scf.while; a fresh
-                # in-body iota is fine.)
-                idx = jax.lax.broadcasted_iota(
-                    jnp.int32, (chunk, r_lanes), 0) + np.int32(c * chunk)
                 bits = jax.lax.bitcast_convert_type(tn, jnp.int32)
-                packed = jnp.where(valid, (bits & _KEY_MASK) | idx, _NO_HIT)
-                packed_chunks.append(packed)
-            packed_all = (packed_chunks[0] if n_chunks == 1
-                          else jnp.concatenate(packed_chunks, axis=0))
-            best = jnp.min(packed_all, axis=0, keepdims=True)  # (1, R)
+                return jnp.where(valid, (bits & _KEY_MASK) | idx, _NO_HIT)
+
+            if debug_expr == 'nosweep':
+                # Timing probe: skip the dense sweep entirely (image is
+                # garbage; round count pinned by max_rounds).
+                best = flat(izero) + _NO_HIT
+            elif not culled:
+                packed_chunks = []
+                for c in range(n_chunks):
+                    sl = slice(c * chunk, (c + 1) * chunk)
+                    # (sliced views of the hoisted iota crash Mosaic's
+                    # vector_extract_strided_slice inside scf.while; a fresh
+                    # in-body iota is fine.)
+                    idx = jax.lax.broadcasted_iota(
+                        jnp.int32, (chunk, r_lanes), 0) + np.int32(c * chunk)
+                    packed_chunks.append(chunk_packed(
+                        oxr - geom_ref[sl, 0:1], oyr - geom_ref[sl, 1:2],
+                        ozr - geom_ref[sl, 2:3], geom_ref[sl, 3:4], idx))
+                packed_all = (packed_chunks[0] if n_chunks == 1
+                              else jnp.concatenate(packed_chunks, axis=0))
+                best = jnp.min(packed_all, axis=0, keepdims=True)  # (1, R)
+            else:
+                # ---- priority spheres: a per-lane nearest-t upper bound -
+                # The K largest spheres (RTiOW: the r=1000 ground + the
+                # three r=1 heroes) dominate occlusion; their REAL hit t
+                # is a true upper bound on the final nearest t, which lets
+                # phase A drop every chunk whose bound starts beyond it —
+                # the t-ordered early termination of a BVH walk, without
+                # any ordered traversal.  Grazing rays (the RTiOW camera
+                # skims the whole sphere field, so ray LINES cross most
+                # chunk bounds) go from ~all chunks live to the few ahead
+                # of their ground hit.
+                t_ub = zero + np.float32(1e30)
+                for k in range(n_prio):
+                    pocx = ox - prio_ref[0, k]
+                    pocy = oy - prio_ref[1, k]
+                    pocz = oz - prio_ref[2, k]
+                    phb = pocx * dx + pocy * dy + pocz * dz
+                    pcq = (pocx * pocx + pocy * pocy + pocz * pocz
+                           ) - prio_ref[3, k]
+                    psq = jnp.sqrt(phb * phb - pcq)  # NaN on miss
+                    prn = -phb - psq
+                    prf = psq - phb
+                    ptn = jnp.where(prn > t_min, prn, prf)
+                    closer = (ptn > t_min) & (ptn < t_ub)  # NaN -> False
+                    t_ub = jnp.where(closer, ptn, t_ub)
+
+                # ---- phase A: ray-vs-chunk-bound tests (alive lanes) ----
+                # A chunk is live only if its bound's intersection interval
+                # [max(near, t_min), far] is nonempty AND starts before the
+                # lane's t_ub.  Conservative, so the min below is
+                # bit-identical to the full sweep.
+                accs = [izero for _ in range(n_words)]
+                for c in range(n_cull):
+                    bx_ = bnd_ref[0, c]
+                    by_ = bnd_ref[1, c]
+                    bz_ = bnd_ref[2, c]
+                    br2 = bnd_ref[3, c]
+                    bocx = ox - bx_
+                    bocy = oy - by_
+                    bocz = oz - bz_
+                    bhb = bocx * dx + bocy * dy + bocz * dz
+                    bcq = (bocx * bocx + bocy * bocy + bocz * bocz) - br2
+                    bsq = jnp.sqrt(bhb * bhb - bcq)  # NaN on miss
+                    brn = -bhb - bsq
+                    brf = bsq - bhb
+                    lanehit = (brf > t_min) & (brn < t_ub) & alive
+                    accs[c // _BPW] = accs[c // _BPW] | jnp.where(
+                        lanehit, np.int32(1 << (c % _BPW)), 0)
+                masks = [or_all(a) for a in accs]
+
+                # Worklist of live chunk ids.  Branch-free scalar build:
+                # always write chunk id c into the current slot, advance
+                # the cursor only when its bit is set — a cleared bit's
+                # write is overwritten by the next live chunk (slots past
+                # the final count are never read).  No predicated regions
+                # (pl.when scalar regions inside scf.while hang Mosaic's
+                # compile, same class as pallas_render's cs=6 note).
+                cnt = jnp.int32(0)
+                for w, m in enumerate(masks):
+                    for j in range(_BPW):
+                        c = w * _BPW + j
+                        if c >= n_cull:
+                            break
+                        list_ref[cnt] = np.int32(c)
+                        cnt = cnt + ((m >> j) & 1)
+                count_ref[0] = cnt
+
+                # ---- phase B: sweep only the live chunks ----------------
+                def cull_block(k, bst):
+                    ci = list_ref[k]
+                    base = pl.multiple_of(ci * np.int32(chunk), chunk)
+                    idx = jax.lax.broadcasted_iota(
+                        jnp.int32, (chunk, r_lanes), 0) + base
+                    packed = chunk_packed(
+                        oxr - geom_ref[pl.ds(base, chunk), 0:1],
+                        oyr - geom_ref[pl.ds(base, chunk), 1:2],
+                        ozr - geom_ref[pl.ds(base, chunk), 2:3],
+                        geom_ref[pl.ds(base, chunk), 3:4], idx)
+                    return jnp.minimum(
+                        bst, jnp.min(packed, axis=0, keepdims=True))
+
+                best = jax.lax.fori_loop(
+                    0, count_ref[0], cull_block, flat(izero) + _NO_HIT)
+                if debug_expr == 'livechunks':
+                    # Accumulate live-chunk count per round; divided by
+                    # spp on output like the path-length plane, so
+                    # lenmap.sum()/rounds = mean live chunks per round.
+                    len_acc = len_acc + cnt.astype(jnp.float32)
+                    lens[0] = len_acc
 
             # ---- attribute gather: one-hot matmul, exact bf16 limbs ---
             # One bf16 MXU pass per limb triple (products of an exact 0/1
@@ -233,23 +422,30 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
             # passes on a 128-padded M — measured at ~1/3 of the frame.
             # One-hot vs the winner INDEX (hoisted iota compare) — the
             # index is unique by construction, so exactly one row matches.
-            widx = best & _IDX_MASK  # (1, R)
-            onehot = jnp.where(sidx == widx, 1.0, 0.0
-                               ).astype(jnp.bfloat16)  # (S, R)
-            g3 = jnp.dot(attr_ref[:], onehot,
-                         preferred_element_type=jnp.float32)  # (48, R)
-            g = g3[0:16] + g3[16:32] + g3[32:48]
-            bcx = g[0].reshape(shape)
-            bcy = g[1].reshape(shape)
-            bcz = g[2].reshape(shape)
-            binv = g[3].reshape(shape)
-            bar = g[4].reshape(shape)
-            bag = g[5].reshape(shape)
-            bab = g[6].reshape(shape)
-            bkd = g[7].reshape(shape)
-            bfz = g[8].reshape(shape)
-            bio = g[9].reshape(shape)
-            br2 = g[10].reshape(shape)
+            if debug_expr == 'nogather':
+                # Timing probe: constant attributes, no one-hot matmul.
+                bcx = bcy = bcz = zero
+                binv = bio = br2 = one
+                bar = bag = bab = zero + 0.5
+                bkd = bfz = zero
+            else:
+                widx = best & _IDX_MASK  # (1, R)
+                onehot = jnp.where(sidx == widx, 1.0, 0.0
+                                   ).astype(jnp.bfloat16)  # (S, R)
+                g3 = jnp.dot(attr_ref[:], onehot,
+                             preferred_element_type=jnp.float32)  # (48, R)
+                g = g3[0:16] + g3[16:32] + g3[32:48]
+                bcx = g[0].reshape(shape)
+                bcy = g[1].reshape(shape)
+                bcz = g[2].reshape(shape)
+                binv = g[3].reshape(shape)
+                bar = g[4].reshape(shape)
+                bag = g[5].reshape(shape)
+                bab = g[6].reshape(shape)
+                bkd = g[7].reshape(shape)
+                bfz = g[8].reshape(shape)
+                bio = g[9].reshape(shape)
+                br2 = g[10].reshape(shape)
             # (reshape the i32 before comparing: Mosaic rejects i1 shape
             # casts, same class of hazard as pallas_render's i1 notes.)
             hit = best.reshape(shape) != _NO_HIT
@@ -279,6 +475,16 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
             front = (dx * nx + dy * ny + dz * nz) < 0.0
             sgn = jnp.where(front, 1.0, -1.0)
             nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+
+            if debug_expr == 'noshade':
+                # Timing probe: loop + sweep + gather, no shade math.
+                # (where-guards keep the gather outputs live vs DCE.)
+                tpk = jnp.where((bar + bag + bab + bkd + bfz + bio
+                                 ) < -1e30, 0.0, tp_r)
+                bounce = bounce + 1.0
+                al2 = alive & hit & (bounce < max_depth)
+                return repack(al2, sample, bounce, hx, hy, hz, dx, dy, dz,
+                              tpk, tp_g, tp_b)
 
             # ---- shade (identical math to pallas_render) --------------
             ba, bb_, bc2, bd = _pcg4d(
@@ -350,9 +556,9 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
             sk_r = 1.0 - 0.5 * tsky
             sk_g = 1.0 - 0.3 * tsky
             add = alive & ~hit
-            rad_r = rad_r + jnp.where(add, tp_r * sk_r, 0.0)
-            rad_g = rad_g + jnp.where(add, tp_g * sk_g, 0.0)
-            rad_b = rad_b + jnp.where(add, tp_b, 0.0)
+            plane_add(rad_rs, add, tp_r * sk_r)
+            plane_add(rad_gs, add, tp_g * sk_g)
+            plane_add(rad_bs, add, tp_b)
 
             scat = alive & hit
             tp_r = jnp.where(scat, tp_r * at_r, tp_r)
@@ -400,8 +606,9 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                 len_acc = jnp.where(hit, bt, 0.0)
             elif debug_expr == 'hx':
                 len_acc = hx
-            return (alive, sample, bounce, ox, oy, oz, dx, dy, dz,
-                    tp_r, tp_g, tp_b, rad_r, rad_g, rad_b, len_acc)
+            lens[0] = len_acc
+            return repack(alive, sample, bounce, ox, oy, oz, dx, dy, dz,
+                          tp_r, tp_g, tp_b)
 
         # Mosaic legalizes vector carries for scf.for but NOT scf.while
         # ('failed to legalize scf.yield'), so the per-lane state rides in
@@ -409,7 +616,7 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
         # (alive encoded as f32 0/1 — i1 stores are also rejected).
         init = (false_v, zero, zero,
                 zero, zero, zero, zero, zero, one,
-                one, one, one, zero, zero, zero, zero)
+                one, one, one) + (zero,) * (4 * v_planes)
         for r, v in zip(state_refs, init[1:]):
             r[:] = v
         alive_ref[:] = zero
@@ -417,32 +624,71 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
         def ref_cond(carry):
             work, it = carry
             if max_rounds:
-                return (work > 0) & (it < max_rounds)
+                return (work > 0) & (it * round_unroll < max_rounds)
             return work > 0
 
         def ref_body(carry):
             _, it = carry
+            # `round_unroll` rounds per while iteration: the scf.while
+            # scaffolding (scalar work-flag sync + branch + state-plane
+            # round trip) measures ~3.6us/iteration on v5e — 42% of a
+            # full round — so amortize it over several rounds.  Running
+            # past a lane's completion is a masked no-op (refill guards
+            # on sample < spp; radiance/len only accumulate when alive),
+            # so the image is bit-identical for any unroll.
             state = (alive_ref[:] > 0.5,) + tuple(r[:] for r in state_refs)
-            out = body(state)
-            alive_ref[:] = jnp.where(out[0], 1.0, 0.0)
-            for r, v in zip(state_refs, out[1:]):
+            for _ in range(round_unroll):
+                state = body(state)
+            alive_ref[:] = jnp.where(state[0], 1.0, 0.0)
+            for r, v in zip(state_refs, state[1:]):
                 r[:] = v
-            work = out[0] | (out[1] < spp)
+            work = state[0] | (state[1] < spp_total)
             return (jnp.max(jnp.where(work, 1, 0)), it + 1)
 
-        wout = jax.lax.while_loop(ref_cond, ref_body,
-                                  (jnp.int32(1), jnp.int32(0)))
+        if debug_expr == 'loop_min':
+            # Timing probe: one plane read+write per round, nothing else.
+            def min_body(i, z):
+                state_refs[0][:] = state_refs[0][:] + 1.0
+                return z
+            jax.lax.fori_loop(0, max_rounds, min_body, jnp.int32(0))
+            wout = (jnp.int32(0), jnp.int32(max_rounds))
+        elif debug_expr == 'loop_half':
+            # Timing probe: 8 planes round-tripped per round.
+            def half_body(i, z):
+                for r in state_refs[:8]:
+                    r[:] = r[:] + 1.0
+                return z
+            jax.lax.fori_loop(0, max_rounds, half_body, jnp.int32(0))
+            wout = (jnp.int32(0), jnp.int32(max_rounds))
+        elif debug_expr and debug_expr.endswith('fori'):
+            # Timing probe: same body under scf.for (no per-round scalar
+            # work-flag sync) pinned to max_rounds iterations.
+            def fori_body(i, z):
+                state = (alive_ref[:] > 0.5,) + tuple(
+                    r[:] for r in state_refs)
+                out = body(state)
+                alive_ref[:] = jnp.where(out[0], 1.0, 0.0)
+                for r, v in zip(state_refs, out[1:]):
+                    r[:] = v
+                return z
+            jax.lax.fori_loop(0, max_rounds, fori_body, jnp.int32(0))
+            wout = (jnp.int32(0), jnp.int32(max_rounds))
+        else:
+            wout = jax.lax.while_loop(ref_cond, ref_body,
+                                      (jnp.int32(1), jnp.int32(0)))
         if debug_expr == 'rounds':
             # Per-tile round count, broadcast over the len plane.
             fb_r[:] = state_refs[11][:]
             fb_g[:] = state_refs[12][:]
             fb_b[:] = state_refs[13][:]
-            fb_len[:] = zero + wout[1].astype(jnp.float32)
+            fb_len[:] = zero + (wout[1] * round_unroll).astype(jnp.float32)
         elif dump is None:
-            fb_r[:] = state_refs[11][:]
-            fb_g[:] = state_refs[12][:]
-            fb_b[:] = state_refs[13][:]
-            fb_len[:] = state_refs[14][:]
+            for v in range(v_planes):
+                sl = slice(v * tile_rows, (v + 1) * tile_rows)
+                fb_r[sl, :] = state_refs[11 + v][:]
+                fb_g[sl, :] = state_refs[11 + v_planes + v][:]
+                fb_b[sl, :] = state_refs[11 + 2 * v_planes + v][:]
+                fb_len[sl, :] = state_refs[11 + 3 * v_planes + v][:]
         else:
             # Debug: dump chosen state planes (-1 = alive) instead of fb.
             outs = (fb_r, fb_g, fb_b, fb_len)
@@ -452,14 +698,22 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
     return kernel
 
 
-def _scene_matrices(scene, s_pad):
-    """Scene -> (geom [S,8] f32, attr limbs [48,S] bf16) kernel operands.
+def _scene_matrices(scene, s_pad, plan=None):
+    """Scene -> (geom [S,8] f32, attr limbs [48,S] bf16, bnd) operands.
 
     geom columns: [cx, cy, cz, r^2, 0...] — consumed as (S,1) broadcast
     columns by the dense VPU intersection sweep.  attrs are split into
     three bf16 limbs (hi, mid, lo with f32 = hi+mid+lo exactly) so the
     one-hot gather matmul runs in ONE bf16 MXU pass yet reassembles
     attribute values bit-exactly.
+
+    `plan` (a `clusters.ClusterPlan`): Morton-permute the spheres into
+    spatially coherent chunks of `plan.cluster_size` and also return
+    `bnd` [4, n_clusters] = per-chunk bounding spheres [bx, by, bz, br^2]
+    for the kernel's phase-A cull (bounds come from the LIVE geometry, so
+    per-frame sphere edits need no replanning).  Pad slots duplicate a
+    real sphere of the same chunk: a duplicate yields the same t at a
+    higher packed index, and the min keeps the lower — results unchanged.
     """
     n = scene.count
     centers = scene.centers
@@ -469,6 +723,32 @@ def _scene_matrices(scene, s_pad):
     fuzz = m.fuzz[scene.material_id]
     ior = m.ior[scene.material_id]
     albedo = m.albedo[scene.material_id]
+    bnd = None
+    prio = None
+    if plan is not None:
+        from bevy_raytrace_tpu.kernels.clusters import cluster_bounds
+
+        bx, by, bz, kq = cluster_bounds(centers, radii, plan)
+        br2 = bx * bx + by * by + bz * bz - kq
+        bnd = jnp.stack([bx, by, bz, br2]).astype(jnp.float32)  # [4, C]
+        # Priority spheres: the K largest by |r| provide the per-lane
+        # nearest-t upper bound for phase A's early termination.  The
+        # SELECTION is static (host argsort of the concrete radii at plan
+        # time would break tracing; plan.prio holds it) but the VALUES are
+        # live geometry.
+        pk = plan.prio
+        prio = jnp.stack([
+            centers[pk, 0], centers[pk, 1], centers[pk, 2],
+            radii[pk] * radii[pk],
+        ]).astype(jnp.float32)  # [4, K]
+        perm = plan.perm
+        centers = centers[perm]
+        radii = radii[perm]
+        kind_f = kind_f[perm]
+        fuzz = fuzz[perm]
+        ior = ior[perm]
+        albedo = albedo[perm]
+        n = perm.shape[0]  # == s_pad: already chunk-padded by the plan
 
     def padded(v, fill=0.0):
         return jnp.concatenate(
@@ -508,7 +788,7 @@ def _scene_matrices(scene, s_pad):
         mid32.astype(jnp.bfloat16),
         lo32.astype(jnp.bfloat16),
     ], axis=0)  # (48, S) bf16
-    return geom, limbs
+    return geom, limbs, bnd, prio
 
 
 def render_mxu(
@@ -520,6 +800,9 @@ def render_mxu(
     tile_rows: int = TILE_ROWS,
     sphere_chunk: int = SPHERE_CHUNK,
     perm=None,
+    plan=None,
+    round_unroll: int = ROUND_UNROLL,
+    v_planes: int = V_PLANES,
 ):
     """Forward render on the v3 kernel -> linear float32 [H, W, 3].
 
@@ -529,7 +812,8 @@ def render_mxu(
     """
     img, _ = render_mxu_with_len(
         scene, camera, config, frame, interpret=interpret,
-        tile_rows=tile_rows, sphere_chunk=sphere_chunk, perm=perm)
+        tile_rows=tile_rows, sphere_chunk=sphere_chunk, perm=perm,
+        plan=plan, round_unroll=round_unroll, v_planes=v_planes)
     return img
 
 
@@ -544,19 +828,34 @@ def render_mxu_lanes(
     sphere_chunk: int = SPHERE_CHUNK,
     sample_base: int = 0,
     max_rounds: int = 0,
+    plan=None,
+    round_unroll: int = ROUND_UNROLL,
+    v_planes: int = V_PLANES,
     dump=None,
     debug_expr=None,
 ):
     """Raw lane-slot render: `pid_grid` int32 [n_tiles*tile_rows, 128]
     holds the ABSOLUTE pixel id each lane renders (values may be traced —
     e.g. offset by a shard_map axis_index).  Returns (fb [p_pad, 3],
-    len [p_pad]) in lane-slot order, already divided by spp."""
-    n_rows = pid_grid.shape[0]
-    n_tiles = n_rows // tile_rows
-    p_pad = n_rows * 128
-    s_pad = max(-(-scene.count // sphere_chunk), 1) * sphere_chunk
+    len [p_pad]) in lane-slot order, already divided by spp.
 
-    geom, limbs = _scene_matrices(scene, s_pad)
+    `plan` (a `clusters.ClusterPlan`) enables chunk-culled traversal:
+    spheres are Morton-permuted into chunks of `plan.cluster_size`, each
+    round tests chunk bounds first and dense-sweeps only live chunks.
+    Results are bit-identical to the brute-force sweep (conservative
+    bounds; duplicate pads lose min ties)."""
+    if dump is not None or debug_expr:
+        v_planes = 1
+    n_rows = pid_grid.shape[0]
+    n_tiles = n_rows // (tile_rows * v_planes)
+    p_pad = n_rows * 128
+    if plan is not None:
+        sphere_chunk = plan.cluster_size
+        s_pad = plan.n_clusters * plan.cluster_size
+    else:
+        s_pad = max(-(-scene.count // sphere_chunk), 1) * sphere_chunk
+
+    geom, limbs, bnd, prio = _scene_matrices(scene, s_pad, plan)
 
     cam = jnp.concatenate([
         camera.origin.reshape(-1), camera.u.reshape(-1),
@@ -570,29 +869,46 @@ def render_mxu_lanes(
             else frame.astype(jnp.uint32))
     seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1)
 
+    n_cull = plan.n_clusters if plan is not None else 0
+    n_prio = int(prio.shape[1]) if plan is not None else 0
     kernel = _make_kernel(config, s_pad, tile_rows, sphere_chunk,
                           sample_base=sample_base, max_rounds=max_rounds,
+                          n_cull=n_cull, n_prio=n_prio,
+                          round_unroll=round_unroll, v_planes=v_planes,
                           dump=dump, debug_expr=debug_expr)
     out_shape = jax.ShapeDtypeStruct((n_rows, 128), jnp.float32)
-    fb_spec = pl.BlockSpec((tile_rows, 128), lambda t: (t, 0),
+    fb_spec = pl.BlockSpec((tile_rows * v_planes, 128), lambda t: (t, 0),
                            memory_space=pltpu.VMEM)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
 
+    in_specs = [vmem(), vmem(), smem(), smem()]
+    inputs = [geom, limbs, cam, seed_arr]
+    if plan is not None:
+        in_specs += [smem(), smem()]
+        inputs += [bnd, prio]
+    in_specs.append(pl.BlockSpec((tile_rows * v_planes, 128),
+                                 lambda t: (t, 0),
+                                 memory_space=pltpu.VMEM))
+    inputs.append(pid_grid)
+    # alive + 11 + 4*v_planes per-lane state planes (see _make_kernel:
+    # scf.while cannot carry vectors, so the round loop's state lives
+    # here).
+    scratch_shapes = [pltpu.VMEM((tile_rows, 128), jnp.float32)
+                      for _ in range(12 + 4 * v_planes)]
+    if plan is not None:
+        scratch_shapes += [pltpu.SMEM((n_cull,), jnp.int32),
+                           pltpu.SMEM((1,), jnp.int32)]
+
     fb_r, fb_g, fb_b, fb_len = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[vmem(), vmem(), smem(), smem(),
-                  pl.BlockSpec((tile_rows, 128), lambda t: (t, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=(fb_spec,) * 4,
         out_shape=(out_shape,) * 4,
-        # alive + 15 per-lane state planes (see _make_kernel: scf.while
-        # cannot carry vectors, so the round loop's state lives here).
-        scratch_shapes=[pltpu.VMEM((tile_rows, 128), jnp.float32)
-                        for _ in range(16)],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(geom, limbs, cam, seed_arr, pid_grid)
+    )(*inputs)
 
     inv_spp = np.float32(1.0 / config.samples_per_pixel)
     fb = jnp.stack([fb_r.reshape(-1), fb_g.reshape(-1), fb_b.reshape(-1)],
@@ -601,9 +917,10 @@ def render_mxu_lanes(
     return fb, ln
 
 
-def lane_pad(num_pixels: int, tile_rows: int = TILE_ROWS) -> int:
+def lane_pad(num_pixels: int, tile_rows: int = TILE_ROWS,
+             v_planes: int = V_PLANES) -> int:
     """Lane-slot count for `num_pixels` (rounded up to whole tiles)."""
-    tile_px = tile_rows * 128
+    tile_px = tile_rows * 128 * v_planes
     return -(-num_pixels // tile_px) * tile_px
 
 
@@ -617,6 +934,9 @@ def render_mxu_with_len(
     sphere_chunk: int = SPHERE_CHUNK,
     perm=None,
     sample_base: int = 0,
+    plan=None,
+    round_unroll: int = ROUND_UNROLL,
+    v_planes: int = V_PLANES,
 ):
     """As `render_mxu`, also returning per-pixel mean path length [H, W]
     (the cost map that drives `balance_perm`)."""
@@ -627,7 +947,7 @@ def render_mxu_with_len(
         # short-circuit here.
         return (jnp.zeros((config.height, config.width, 3), jnp.float32),
                 jnp.zeros((config.height, config.width), jnp.float32))
-    p_pad = lane_pad(num_pixels, tile_rows)
+    p_pad = lane_pad(num_pixels, tile_rows, v_planes)
 
     if perm is None:
         pids = jnp.arange(p_pad, dtype=jnp.int32)
@@ -640,7 +960,8 @@ def render_mxu_with_len(
     fb, ln = render_mxu_lanes(
         scene, camera, config, pids.reshape(p_pad // 128, 128), frame,
         interpret=interpret, tile_rows=tile_rows, sphere_chunk=sphere_chunk,
-        sample_base=sample_base)
+        sample_base=sample_base, plan=plan, round_unroll=round_unroll,
+        v_planes=v_planes)
 
     # Scatter lane slots back to their absolute pixels (no-op for the
     # identity perm; drops the padding lanes either way).
@@ -652,22 +973,60 @@ def render_mxu_with_len(
             lmap.reshape(config.height, config.width))
 
 
-def balance_perm(len_map):
+@functools.lru_cache(maxsize=8)
+def _morton_rank(height: int, width: int):
+    """Raster pid -> rank along the Morton (Z-order) curve of (x, y).
+
+    Static per resolution; used as the secondary sort key so equal-cost
+    pixels stay spatially compact (coherent tiles see few live chunks in
+    the culled traversal)."""
+    y, x = np.mgrid[0:height, 0:width].astype(np.uint64)
+
+    def part(v):
+        v = (v | (v << 16)) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << 8)) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << 4)) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << 2)) & np.uint64(0x3333333333333333)
+        v = (v | (v << 1)) & np.uint64(0x5555555555555555)
+        return v
+
+    code = (part(x) | (part(y) << np.uint64(1))).reshape(-1)
+    rank = np.empty(code.size, np.int32)
+    rank[np.argsort(code, kind="stable")] = np.arange(code.size,
+                                                      dtype=np.int32)
+    return rank
+
+
+def balance_perm(len_map, coherent: bool = True, quant: float = 2.0):
     """Pixel permutation sorting by measured path length.
 
     Lanes of one tile then share similar per-sample cost, so the refill
     loop's round count tracks the tile MEAN path length instead of its
     max (measured 2.6 vs 6.3 on the bench scene — the whole wavefront
     finishes ~2.4x fewer rounds).
+
+    `coherent` (default): quantize the cost to 1/`quant` steps and break
+    ties along the Morton curve of the pixel grid, so tiles stay both
+    cost-uniform AND spatially compact — the latter is what makes the
+    chunk-culled traversal see few live chunks per tile.
     """
-    return jnp.argsort(len_map.reshape(-1)).astype(jnp.int32)
+    ln = len_map.reshape(-1)
+    if not coherent:
+        return jnp.argsort(ln).astype(jnp.int32)
+    h, w = len_map.shape
+    n = h * w
+    rank = jnp.asarray(_morton_rank(h, w))
+    key = jnp.round(ln * np.float32(quant)).astype(jnp.int32) * np.int32(n)
+    return jnp.argsort(key + rank).astype(jnp.int32)
 
 
 def render_mxu_balanced(scene, camera, config: RenderConfig, frame=0,
                         probe_spp: int = 16, interpret: bool = False,
                         tile_rows: int = TILE_ROWS,
                         sphere_chunk: int = SPHERE_CHUNK,
-                        probe_reuse: bool = True):
+                        probe_reuse: bool = True, plan=None,
+                        round_unroll: int = ROUND_UNROLL,
+                        v_planes: int = V_PLANES):
     """Probe (probe_spp samples, identity layout) -> cost-sorted render.
 
     With `probe_reuse` (default) the probe's samples COUNT: the probe
@@ -686,18 +1045,21 @@ def render_mxu_balanced(scene, camera, config: RenderConfig, frame=0,
                                     spp_chunk=0)
     probe_img, len_map = render_mxu_with_len(
         scene, camera, config=probe_cfg, frame=frame, interpret=interpret,
-        tile_rows=tile_rows, sphere_chunk=sphere_chunk)
+        tile_rows=tile_rows, sphere_chunk=sphere_chunk, plan=plan,
+        round_unroll=round_unroll, v_planes=v_planes)
     perm = balance_perm(len_map)
     if not probe_reuse or probe_spp == config.samples_per_pixel:
         return render_mxu(scene, camera, config, frame, interpret=interpret,
                           tile_rows=tile_rows, sphere_chunk=sphere_chunk,
-                          perm=perm)
+                          perm=perm, plan=plan, round_unroll=round_unroll,
+                          v_planes=v_planes)
     rest = config.samples_per_pixel - probe_spp
     rest_cfg = dataclasses.replace(config, samples_per_pixel=rest,
                                    spp_chunk=0)
     rest_img, _ = render_mxu_with_len(
         scene, camera, config=rest_cfg, frame=frame, interpret=interpret,
         tile_rows=tile_rows, sphere_chunk=sphere_chunk, perm=perm,
-        sample_base=probe_spp)
+        sample_base=probe_spp, plan=plan, round_unroll=round_unroll,
+        v_planes=v_planes)
     w = np.float32(1.0 / config.samples_per_pixel)
     return (probe_img * (w * probe_spp)) + (rest_img * (w * rest))
