@@ -1,0 +1,228 @@
+"""Fast differentiable rendering: Pallas forward + residual-replay backward.
+
+The XLA wavefront (`wavefront/render.py`) is differentiable but pays the
+dense [rays, spheres] intersection sweep in BOTH directions — it is the
+whole cost of `jax.value_and_grad(render)` (VERDICT r1 item 2: ~2M rays/s
+while the forward Pallas kernel does >25M).  This module removes the sweep
+from the backward pass entirely:
+
+  forward   — the fused Pallas kernel (`kernels/pallas_render.py`) with
+              `with_residuals=True`: alongside the image it records, per
+              (sample, bounce, pixel), the winning sphere index (-1 for
+              miss) — a compact checkpoint of every discrete choice the
+              sampled paths made (int32; ~4 bytes x spp x depth x pixels).
+
+  backward  — `replay_image` re-traces every path in plain differentiable
+              jnp WITHOUT any nearest-hit search: the winner is read from
+              the residual, its exact `t` recomputed in closed form, and
+              the same PCG4D counters replay the same random numbers.
+              `jax.vjp` of the replay then yields scene/camera cotangents.
+
+Gradient semantics match the XLA path exactly (same straight-through
+policy: discrete events — argmin winner, hit/miss, root choice, material
+branch, Schlick Bernoulli — are frozen at their sampled values; continuous
+quantities differentiate through), including the `edge_softness` soft-
+silhouette boundary term, which only involves the HIT sphere
+(`core/geometry.py:104-113`) and therefore needs no extra residuals.
+
+This mirrors the reference's wavefront state handoff (`ray_trace_rays.rs`
+ray buffer carrying per-bounce state between dispatch rounds,
+`src/ray_trace_node.rs:213-217`) — but as a reverse-mode checkpoint rather
+than a live queue.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bevy_raytrace_tpu.config import RenderConfig
+from bevy_raytrace_tpu.core.materials import scatter, sky_color
+from bevy_raytrace_tpu.core.types import Ray
+from bevy_raytrace_tpu.rng.pcg import uniform4
+from bevy_raytrace_tpu.wavefront.render import CAMERA_STREAM, FRAME_MIX
+
+_UNIT_Z = np.array([0.0, 0.0, 1.0], np.float32)
+
+
+def replay_paths(scene, camera, config: RenderConfig, pixel_ids, sample_ids,
+                 seed, res_db, centers, radii, mat_id):
+    """Differentiable re-trace of recorded paths -> radiance [K, 3].
+
+    res_db: int32 [max_depth, K] winner sphere index per bounce (-1 miss);
+    indices refer to rows of `centers`/`radii`/`mat_id` (the kernel's
+    possibly cluster-permuted sphere order).  RNG counters are identical
+    to the forward kernel's, so the replayed path IS the sampled path.
+    """
+    t_min = np.float32(config.t_min)
+    k = pixel_ids.shape[0]
+    cu1, cu2, cu3, cu4 = uniform4(pixel_ids, sample_ids, CAMERA_STREAM, seed)
+    x = (pixel_ids % config.width).astype(jnp.float32)
+    y = (pixel_ids // config.width).astype(jnp.float32)
+    s = (x + cu1) / config.width
+    t = 1.0 - (y + cu2) / config.height
+    ray = camera.generate_rays(s, t, cu3, cu4)
+
+    throughput = jnp.ones((k, 3), jnp.float32)
+    radiance = jnp.zeros((k, 3), jnp.float32)
+    alive = jnp.ones((k,), bool)
+
+    def body(carry, xs):
+        bounce_idx, sidx = xs
+        ray, throughput, radiance, alive = carry
+        o, d = ray.origin, ray.dir
+        hit = (sidx >= 0) & alive
+        si = jnp.maximum(sidx, 0)
+        c = centers[si]  # [K,3]
+        r = radii[si]  # [K]
+
+        # Exact nearest t of the recorded winner, centered quadratic —
+        # identical formula to the kernel's recompute
+        # (kernels/mxu_render.py "Exact nearest-t recompute").
+        oc = o - c
+        hb = jnp.sum(oc * d, axis=-1)
+        oc2 = jnp.sum(oc * oc, axis=-1)
+        cq = oc2 - r * r
+        disc = hb * hb - cq
+        # Double-where sqrt guard: miss lanes must not leak NaN grads.
+        sq = jnp.sqrt(jnp.where(hit, jnp.maximum(disc, 0.0), 1.0))
+        rn = -hb - sq
+        rf = sq - hb
+        t_hit = jnp.where(rn > t_min, rn, rf)
+        t_safe = jnp.where(hit, t_hit, 0.0)
+        point = o + t_safe[:, None] * d
+        inv_r = 1.0 / jnp.where(r == 0.0, 1.0, r)
+        outward = (point - c) * inv_r[:, None]
+        outward = jnp.where(hit[:, None], outward, _UNIT_Z)
+        front_face = jnp.sum(d * outward, axis=-1) < 0.0
+        normal = jnp.where(front_face[:, None], outward, -outward)
+
+        albedo, kind, fuzz, ior = scene.gather_material(mat_id[si])
+        u = uniform4(pixel_ids, sample_ids, bounce_idx, seed)
+        new_dir, attenuation, scatter_ok = scatter(
+            d, normal, front_face, albedo, kind, fuzz, ior, u)
+
+        miss = ~hit
+        sky = sky_color(d)
+        add_sky = (alive & miss)[:, None]
+        radiance = radiance + jnp.where(add_sky, throughput * sky, 0.0)
+
+        scattered = alive & hit
+        attenuation_eff = attenuation
+        if config.edge_softness > 0.0:
+            # Same soft-silhouette straight-through as the XLA path
+            # (wavefront/render.py): value untouched, gradients gain the
+            # boundary term.  edge_m2 needs only the winner sphere.
+            b_perp2 = oc2 - hb * hb
+            r2 = jnp.maximum(r * r, 1e-12)
+            edge_m2 = jnp.where(hit, 1.0 - b_perp2 / r2, 1.0)
+            s_soft = jax.nn.sigmoid(edge_m2 / config.edge_softness)
+            st = 1.0 + (s_soft - jax.lax.stop_gradient(s_soft))
+            attenuation_eff = attenuation * st[:, None]
+            radiance = radiance + jnp.where(
+                scattered[:, None], (1.0 - st)[:, None] * throughput * sky,
+                0.0)
+        throughput = jnp.where(
+            scattered[:, None], throughput * attenuation_eff, throughput)
+        alive_next = scattered & scatter_ok
+        keep = alive_next[:, None]
+        ray = Ray(origin=jnp.where(keep, point, o),
+                  dir=jnp.where(keep, new_dir, d))
+        return (ray, throughput, radiance, alive_next), None
+
+    (_, _, radiance, _), _ = jax.lax.scan(
+        jax.checkpoint(body),
+        (ray, throughput, radiance, alive),
+        (np.arange(config.max_depth, dtype=np.uint32), res_db),
+    )
+    return radiance
+
+
+def replay_image(scene, camera, config: RenderConfig, res, frame=0,
+                 sphere_perm=None):
+    """Differentiable image from recorded residuals -> [H, W, 3].
+
+    res: int32 [spp, max_depth, P] with P >= num_pixels (lane padding is
+    sliced off).  `sphere_perm` maps residual slot indices to scene rows
+    when the forward ran cluster-permuted.
+    """
+    num_pixels = config.num_pixels
+    with np.errstate(over="ignore"):
+        seed = np.uint32(config.seed) + np.uint32(FRAME_MIX) * (
+            np.uint32(frame) if isinstance(frame, int)
+            else frame.astype(jnp.uint32))
+
+    centers = scene.centers
+    radii = scene.radii
+    mat_id = scene.material_id
+    if sphere_perm is not None:
+        centers = centers[sphere_perm]
+        radii = radii[sphere_perm]
+        mat_id = mat_id[sphere_perm]
+
+    pixel_ids = np.arange(num_pixels, dtype=np.uint32)
+    res_p = res[:, :, :num_pixels]
+
+    def per_sample(fb_sum, xs):
+        s_id, res_s = xs
+        rad = replay_paths(scene, camera, config, pixel_ids,
+                           s_id, seed, res_s, centers, radii, mat_id)
+        return fb_sum + rad, None
+
+    fb, _ = jax.lax.scan(
+        per_sample,
+        jnp.zeros((num_pixels, 3), jnp.float32),
+        (np.arange(config.samples_per_pixel, dtype=np.uint32), res_p),
+    )
+    fb = fb / np.float32(config.samples_per_pixel)
+    return fb.reshape(config.height, config.width, 3)
+
+
+def _zero_cotangent(x):
+    arr = jnp.asarray(x)
+    if jnp.issubdtype(arr.dtype, jnp.floating):
+        return jnp.zeros_like(arr)
+    return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+
+
+def make_fast_renderer(config: RenderConfig, tile_rows=None, unroll=None,
+                       clusters=None, interpret: bool = False):
+    """A differentiable `render(scene, camera, frame) -> image` whose
+    forward is the fused Pallas kernel and whose backward replays the
+    recorded paths (no sphere sweep).
+
+    Use under `jax.jit` / `jax.grad` exactly like `wavefront.render`
+    specialized to `config`.  Gradients match the XLA path's (tested).
+    """
+    from bevy_raytrace_tpu.kernels.pallas_render import UNROLL, render_pallas
+
+    if unroll is None:
+        unroll = UNROLL
+    sphere_perm = None if clusters is None else clusters.perm
+    fwd_kernel = functools.partial(
+        render_pallas, tile_rows=tile_rows, unroll=unroll,
+        clusters=clusters, with_residuals=True, interpret=interpret)
+
+    @jax.custom_vjp
+    def render_fast(scene, camera, frame):
+        img, _ = fwd_kernel(scene, camera, config, frame)
+        return img
+
+    def fwd(scene, camera, frame):
+        img, res = fwd_kernel(scene, camera, config, frame)
+        return img, (scene, camera, frame, res)
+
+    def bwd(saved, g):
+        scene, camera, frame, res = saved
+        _, vjp = jax.vjp(
+            lambda sc, cam: replay_image(
+                sc, cam, config, res, frame, sphere_perm),
+            scene, camera)
+        d_scene, d_camera = vjp(g)
+        return d_scene, d_camera, _zero_cotangent(frame)
+
+    render_fast.defvjp(fwd, bwd)
+    return render_fast

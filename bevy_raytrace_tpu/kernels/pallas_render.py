@@ -128,7 +128,10 @@ def _make_kernel(
     skip_dead: bool,
     n_clusters: int = 0,
     cluster_size: int = 0,
+    with_residuals: bool = False,
 ):
+    if with_residuals and skip_dead:
+        raise ValueError("with_residuals requires the plain schedule")
     width = np.float32(config.width)
     height = np.float32(config.height)
     t_min = np.float32(config.t_min)
@@ -149,11 +152,16 @@ def _make_kernel(
         n_words = -(-n_clusters // bits_per_word)
 
     def kernel(geom_ref, mat_ref, cam_ref, seed_ref, *rest):
+        res_ref = None
         if clustered:
             cb_ref, fb_r, fb_g, fb_b, *scratch = rest
+            if with_residuals:
+                res_ref, *scratch = scratch
             *scratch, list_ref, count_ref = scratch
         else:
             fb_r, fb_g, fb_b, *scratch = rest
+            if with_residuals:
+                res_ref, *scratch = scratch
         tile = pl.program_id(0)
         s = pl.program_id(1)
         sample = s.astype(jnp.uint32)
@@ -205,7 +213,7 @@ def _make_kernel(
         one = jnp.ones(shape, jnp.float32)
         zero = jnp.zeros(shape, jnp.float32)
 
-        def bounce_body(bounce, carry):
+        def bounce_body(bounce, carry, bounce_static=None):
             (ox, oy, oz, dx, dy, dz,
              tp_r, tp_g, tp_b, rad_r, rad_g, rad_b, alive) = carry
 
@@ -216,7 +224,7 @@ def _make_kernel(
 
             def one_sphere(n, carry):
                 (bt, bcx, bcy, bcz, binv,
-                 bar, bag, bab, bkd, bfz, bio) = carry
+                 bar, bag, bab, bkd, bfz, bio, bidx) = carry
                 cx = geom_ref[0, n]
                 cy = geom_ref[1, n]
                 cz = geom_ref[2, n]
@@ -247,7 +255,12 @@ def _make_kernel(
                 bkd = jnp.where(better, mat_ref[3, n], bkd)
                 bfz = jnp.where(better, mat_ref[4, n], bfz)
                 bio = jnp.where(better, mat_ref[5, n], bio)
-                return (bt, bcx, bcy, bcz, binv, bar, bag, bab, bkd, bfz, bio)
+                if with_residuals:
+                    # Winner index as f32 (exact below 2^24); -1 = miss.
+                    nf = jnp.asarray(n, jnp.int32).astype(jnp.float32)
+                    bidx = jnp.where(better, nf, bidx)
+                return (bt, bcx, bcy, bcz, binv, bar, bag, bab, bkd, bfz,
+                        bio, bidx)
 
             def sphere_block(i, carry):
                 base = i * unroll
@@ -259,9 +272,11 @@ def _make_kernel(
                 jnp.full(shape, t_max, jnp.float32),
                 zero, zero, zero, one,
                 zero, zero, zero, zero, zero, one,
+                zero - 1.0,
             )
             if not clustered:
-                (bt, bcx, bcy, bcz, binv, bar, bag, bab, bkd, bfz, bio) = (
+                (bt, bcx, bcy, bcz, binv, bar, bag, bab, bkd, bfz, bio,
+                 bidx) = (
                     jax.lax.fori_loop(0, n_iters, sphere_block, init)
                 )
             else:
@@ -330,7 +345,8 @@ def _make_kernel(
                         carry = one_sphere(base + j, carry)
                     return carry
 
-                (bt, bcx, bcy, bcz, binv, bar, bag, bab, bkd, bfz, bio) = (
+                (bt, bcx, bcy, bcz, binv, bar, bag, bab, bkd, bfz, bio,
+                 bidx) = (
                     jax.lax.fori_loop(
                         0,
                         count_ref[0] * blocks_per_cluster,
@@ -340,6 +356,14 @@ def _make_kernel(
                 )
 
             hit = bt < t_max
+            if with_residuals:
+                # Per-bounce winner sphere index (-1 = miss/dead): the
+                # residual that lets the backward replay skip the sphere
+                # sweep entirely (see inverse/fast_grad.py).  Dead lanes
+                # record -1 so the replay treats them as misses.
+                rec = jnp.where(hit & alive, bidx, -1.0).astype(jnp.int32)
+                r0 = bounce_static * tile_rows
+                res_ref[0, r0:r0 + tile_rows, :] = rec
             t_safe = jnp.where(hit, bt, 0.0)
             hx = ox + t_safe * dx
             hy = oy + t_safe * dy
@@ -450,7 +474,8 @@ def _make_kernel(
                      one, one, one, zero, zero, zero,
                      jnp.ones(shape, bool))
             for bounce in range(max_depth):
-                carry = bounce_body(jnp.uint32(bounce), carry)
+                carry = bounce_body(jnp.uint32(bounce), carry,
+                                    bounce_static=bounce)
             rad_r, rad_g, rad_b = carry[9], carry[10], carry[11]
         else:
             # Whole-tile early-out: per-ray state lives in VMEM scratch and
@@ -517,8 +542,16 @@ def render_pallas(
     unroll: int = UNROLL,
     skip_dead_tiles: bool = SKIP_DEAD_TILES,
     clusters=None,
+    with_residuals: bool = False,
 ):
     """Drop-in replacement for wavefront.render on the forward path.
+
+    `with_residuals=True` additionally returns the per-bounce winner
+    sphere index `res` int32 [spp, max_depth, H*W] (-1 = miss), the
+    checkpoint that lets `inverse.fast_grad` replay paths for the
+    backward pass without re-running the sphere sweep.  Indices refer to
+    the kernel's (possibly cluster-permuted) sphere order; pass the same
+    `clusters` plan to the replay.
 
     Returns linear float32 [H, W, 3]; agrees with the XLA path to f32
     tolerance (identical RNG counters, same math, different transcendental
@@ -615,6 +648,7 @@ def render_pallas(
         skip_dead_tiles,
         n_clusters=0 if clusters is None else clusters.n_clusters,
         cluster_size=0 if clusters is None else clusters.cluster_size,
+        with_residuals=with_residuals,
     )
     out_shape = jax.ShapeDtypeStruct((p_pad // 128, 128), jnp.float32)
     fb_spec = pl.BlockSpec(
@@ -628,6 +662,17 @@ def render_pallas(
         in_specs.append(smem())
         inputs.append(cbounds)
 
+    out_specs = [fb_spec, fb_spec, fb_spec]
+    out_shapes = [out_shape, out_shape, out_shape]
+    depth = config.max_depth
+    if with_residuals:
+        out_specs.append(pl.BlockSpec(
+            (1, depth * tile_rows, 128), lambda t, s: (s, t, 0),
+            memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (config.samples_per_pixel, depth * (p_pad // 128), 128),
+            jnp.int32))
+
     scratch_shapes = []
     if skip_dead_tiles:
         scratch_shapes += [
@@ -639,18 +684,28 @@ def render_pallas(
             pltpu.SMEM((1,), jnp.int32),
         ]
 
-    fb_r, fb_g, fb_b = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(n_tiles, config.samples_per_pixel),
         in_specs=in_specs,
-        out_specs=(fb_spec, fb_spec, fb_spec),
-        out_shape=(out_shape, out_shape, out_shape),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*inputs)
+    fb_r, fb_g, fb_b = outs[:3]
 
     fb = jnp.stack(
         [fb_r.reshape(-1), fb_g.reshape(-1), fb_b.reshape(-1)], axis=-1
     )
     fb = fb[:num_pixels] / np.float32(config.samples_per_pixel)
-    return fb.reshape(config.height, config.width, 3)
+    img = fb.reshape(config.height, config.width, 3)
+    if not with_residuals:
+        return img
+    # res blocks are (s, tile) of (depth, tile_rows, 128): regroup the
+    # row axis (n_tiles, depth, tile_rows) -> [spp, depth, p_pad].
+    res = outs[3].reshape(
+        config.samples_per_pixel, n_tiles, depth, tile_rows * 128)
+    res = jnp.swapaxes(res, 1, 2).reshape(
+        config.samples_per_pixel, depth, p_pad)
+    return img, res
