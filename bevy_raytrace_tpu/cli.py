@@ -26,6 +26,23 @@ import time
 import numpy as np
 
 
+# The pallas kernel sweeps spheres in unroll-wide blocks; cluster_size
+# must be a multiple or render_pallas raises deep inside the kernel
+# builder — validate at the flag boundary instead (ADVICE r1).
+_UNROLL = 6
+
+
+def _cluster_size(v):
+    import argparse
+
+    v = int(v)
+    if v and v % _UNROLL != 0:
+        raise argparse.ArgumentTypeError(
+            f"--cluster-size must be 0 or a multiple of the kernel "
+            f"unroll ({_UNROLL}); got {v}")
+    return v
+
+
 def _add_render_args(p):
     p.add_argument("--scene", default="rtiow",
                    choices=["config1", "config2", "rtiow", "reference"])
@@ -43,10 +60,15 @@ def _add_render_args(p):
     p.add_argument("--aperture", type=float, default=None)
     p.add_argument("--sharded", action="store_true",
                    help="shard pixels over all local devices")
-    p.add_argument("--backend", choices=["xla", "pallas"], default="xla",
-                   help="compute path (pallas = fused TPU kernel)")
-    p.add_argument("--cluster-size", type=int, default=12,
-                   help="cluster-culled traversal (pallas backend; 0 = brute force)")
+    p.add_argument("--backend", choices=["xla", "pallas", "mxu"],
+                   default="xla",
+                   help="compute path (mxu = fastest fused TPU kernel; "
+                        "pallas = v1 fused kernel)")
+    p.add_argument("--cluster-size", type=_cluster_size,
+                   default=12,
+                   help="cluster-culled traversal granularity (pallas "
+                        "backend; 0 = brute force; must be a multiple of "
+                        f"the kernel unroll {_UNROLL})")
     p.add_argument("-o", "--output", default="render.png")
 
 
@@ -97,6 +119,10 @@ def _make_step(config, args, scene=None):
         mesh = make_mesh()
         print(f"mesh: {mesh}", file=sys.stderr)
         return jax.jit(render_sharded, static_argnums=(2, 3)), (config, mesh)
+    if getattr(args, "backend", "xla") == "mxu":
+        from bevy_raytrace_tpu.kernels.mxu_render import render_mxu_balanced
+
+        return jax.jit(render_mxu_balanced, static_argnums=2), (config,)
     if getattr(args, "backend", "xla") == "pallas":
         import functools
 

@@ -1,4 +1,5 @@
 from bevy_raytrace_tpu.io.image import (
+    assemble_tiles,
     tonemap,
     write_exr,
     write_image,
@@ -6,4 +7,5 @@ from bevy_raytrace_tpu.io.image import (
     write_ppm,
 )
 
-__all__ = ["tonemap", "write_png", "write_ppm", "write_exr", "write_image"]
+__all__ = ["assemble_tiles", "tonemap", "write_png", "write_ppm",
+           "write_exr", "write_image"]

@@ -124,3 +124,37 @@ def write_image(path: str, img) -> None:
         write_exr(path, img)
     else:
         raise ValueError(f"unsupported image extension: {path}")
+
+
+def assemble_tiles(tiles, starts, num_pixels: int) -> np.ndarray:
+    """Gather per-device/host framebuffer stripes into one flat image.
+
+    The multi-host IO path: each host materializes only its own pixel
+    stripes (addressable shards) and rank 0 assembles them for writing —
+    the TPU analog of the reference's single resident framebuffer texture
+    (`src/ray_trace_output.rs:49-61`).  `tiles` is a list of [n_i, 3]
+    float32 arrays, `starts` their absolute pixel offsets.  Uses the
+    native `brt_assemble_tiles` (csrc/brt_native.cpp) when available,
+    else numpy.
+    """
+    tiles = [np.ascontiguousarray(t, np.float32).reshape(-1, 3)
+             for t in tiles]
+    out = np.zeros((num_pixels, 3), np.float32)
+    lib = native.load()
+    if lib is not None:
+        ptrs = (ctypes.POINTER(ctypes.c_float) * len(tiles))(
+            *[t.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+              for t in tiles])
+        starts_a = np.asarray(starts, np.int64)
+        sizes_a = np.asarray([t.shape[0] for t in tiles], np.int64)
+        lib.brt_assemble_tiles(
+            ptrs,
+            starts_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sizes_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(tiles),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return out
+    for t, s0 in zip(tiles, starts):
+        out[int(s0):int(s0) + t.shape[0]] = t
+    return out

@@ -56,6 +56,13 @@ def load():
                 ctypes.c_int,
             ]
             lib.brt_write_exr.restype = ctypes.c_int
+            lib.brt_assemble_tiles.argtypes = [
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+            ]
             _lib = lib
         except Exception:
             _lib = None

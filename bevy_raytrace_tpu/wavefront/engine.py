@@ -26,22 +26,35 @@ class Renderer:
 
     Args:
       config: static render configuration.
-      backend: "xla" (differentiable reference path), "pallas" (fused TPU
-        kernel, forward-only), or "sharded" (pixels over a device mesh).
+      backend: "xla" (differentiable reference path), "mxu" (the fast
+        fused TPU kernel with cost-balanced scheduling, forward-only),
+        "pallas" (the v1 fused kernel, cluster-culled), or "sharded"
+        (pixels over a device mesh).
       mesh: required for backend="sharded".
+      cluster_size: pallas-backend traversal granularity (0 disables
+        culling; must be a multiple of the kernel unroll).
     """
 
-    def __init__(self, config: RenderConfig, backend: str = "xla", mesh=None):
+    def __init__(self, config: RenderConfig, backend: str = "xla", mesh=None,
+                 cluster_size: int = 12):
         self.config = config
         self.backend = backend
         self.frame = 0
         self.ready = False
+        self.cluster_size = cluster_size
         self._compile_time: Optional[float] = None
 
         if backend == "xla":
             from bevy_raytrace_tpu.wavefront.render import render
 
             self._step = jax.jit(render, static_argnums=2)
+            self._extra = (config,)
+        elif backend == "mxu":
+            from bevy_raytrace_tpu.kernels.mxu_render import (
+                render_mxu_balanced,
+            )
+
+            self._step = jax.jit(render_mxu_balanced, static_argnums=2)
             self._extra = (config,)
         elif backend == "pallas":
             import functools
@@ -52,19 +65,35 @@ class Renderer:
             # concrete scene (membership is static; bounds are recomputed
             # from live geometry inside the kernel, so per-frame sphere
             # edits — the reference's live re-upload path,
-            # `src/sphere.rs:180-197` — need no replanning).
-            self._fn = None
-            self._plan_count = None
+            # `src/sphere.rs:180-197` — need no replanning).  The plan
+            # cache keys on a hash of the concrete sphere CENTERS, not
+            # just the count (ADVICE r1): same-count topology changes
+            # replan, and moving-sphere sessions can call `replan()`
+            # explicitly if cluster bounds drift loose.
+            self._fns = {}  # scene key -> jitted fn (bounded cache)
+
+            def _scene_key(scene):
+                import numpy as np
+
+                c = np.asarray(scene.centers)
+                return (c.shape[0], self.cluster_size, hash(c.tobytes()))
 
             def step(scene, camera, config, frame):
-                if self._plan_count != scene.count:
-                    plan = cluster_scene(scene) if scene.count >= 32 else None
-                    self._fn = jax.jit(
+                key = _scene_key(scene)
+                fn = self._fns.get(key)
+                if fn is None:
+                    plan = (cluster_scene(
+                        scene, cluster_size=self.cluster_size)
+                        if self.cluster_size and scene.count >= 32
+                        else None)
+                    fn = jax.jit(
                         functools.partial(render_pallas, clusters=plan),
                         static_argnums=2,
                     )
-                    self._plan_count = scene.count
-                return self._fn(scene, camera, config, frame)
+                    if len(self._fns) >= 8:
+                        self._fns.pop(next(iter(self._fns)))
+                    self._fns[key] = fn
+                return fn(scene, camera, config, frame)
 
             self._step = step
             self._extra = (config,)
@@ -79,6 +108,15 @@ class Renderer:
             self._extra = (config, mesh)
         else:
             raise ValueError(f"unknown backend {backend!r}")
+
+    def replan(self):
+        """Drop cached traversal plans/compilations (pallas backend):
+        the next frame rebuilds the Morton clustering from the current
+        scene.  Use after large sphere motion leaves cluster bounds
+        loose (results are always correct either way; this is a
+        performance knob)."""
+        if hasattr(self, "_fns"):
+            self._fns.clear()
 
     def warmup(self, scene, camera):
         """Compile (the reference's Loading phase); returns compile seconds."""

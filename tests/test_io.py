@@ -93,3 +93,29 @@ def test_exr_roundtrip_exact(img, tmp_path):
         assert version == 2
         # data payload present: header + offsets + h*(8 + w*3*4) bytes
         assert os.path.getsize(p) > img.shape[0] * img.shape[1] * 3 * 4
+
+
+def test_assemble_tiles_native_and_fallback():
+    """Stripe assembly (the multi-host IO gather) must reproduce the
+    full framebuffer exactly, with the native brt_assemble_tiles and the
+    numpy fallback agreeing."""
+    import numpy as np
+
+    from bevy_raytrace_tpu.io import assemble_tiles
+    from bevy_raytrace_tpu.io import native as native_mod
+
+    rng = np.random.RandomState(3)
+    full = rng.rand(300, 3).astype(np.float32)
+    splits = [0, 80, 128, 300]
+    tiles = [full[a:b] for a, b in zip(splits[:-1], splits[1:])]
+    got = assemble_tiles(tiles, splits[:-1], 300)
+    np.testing.assert_array_equal(got, full)
+
+    # numpy fallback path (force lib absent)
+    orig = native_mod.load
+    native_mod.load = lambda: None
+    try:
+        got2 = assemble_tiles(tiles, splits[:-1], 300)
+    finally:
+        native_mod.load = orig
+    np.testing.assert_array_equal(got2, full)
