@@ -3,12 +3,26 @@
 
 Workload (BASELINE.json primary metric): RTiOW final scene (~486 spheres,
 defocus camera) at 1200x800, 256 spp, depth 8 — the wavefront traces
-W*H*spp = 245.76M paths/frame, 8 bounce rounds each, brute-force over all
-spheres (no BVH, same as the reference's linear scan,
-`/root/reference/assets/shaders/intersect.wgsl:132-143`).
+W*H*spp = 245.76M paths/frame, up to 8 bounce rounds each, against the
+same linear sphere list the reference scans
+(`/root/reference/assets/shaders/intersect.wgsl:132-143`).
+
+Backends (--backend):
+  mxu    — the v3 fused whole-trace kernel (dense VPU sweep + one-hot MXU
+           attribute gather + persistent-lane refill + cost balancing,
+           `bevy_raytrace_tpu/kernels/mxu_render.py`).  Default on TPU.
+  pallas — the v1 fused kernel (per-sphere SMEM loop, cluster-culled).
+  xla    — the differentiable jnp wavefront (`wavefront/render.py`).
+  auto   — mxu on TPU, xla elsewhere.
+
+Unless --no-verify, a compiled (NOT interpret-mode) parity gate runs
+first: a small config is rendered by all three backends and cross-checked
+(median error, flipped-pixel fraction, mean bias — see VERIFY_* below),
+so a wrong-image-fast-kernel regression fails the bench instead of
+shipping a fast lie.  The JSON line carries "verify": "pass".
 
 Prints ONE JSON line to stdout:
-    {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N, ...}
 
 value = camera paths per second per chip (W*H*spp / frame_time).
 vs_baseline: the reference publishes no numbers (BASELINE.md: "none
@@ -19,7 +33,7 @@ card-typical 60 FPS: 2,073,600 rays/frame x 60 = 124.4M rays/s
 Usage:
     python bench.py                 # full BASELINE config (256 spp)
     python bench.py --quick         # same scene/res, 16 spp (same rays/s)
-    python bench.py --backend pallas|xla   # kernel path (default: best)
+    python bench.py --backend mxu|pallas|xla
 Diagnostics go to stderr; stdout carries exactly the one JSON line.
 """
 
@@ -34,9 +48,99 @@ import numpy as np
 
 REFERENCE_IMPLIED_RAYS_PER_SEC = 2_073_600 * 60.0  # see module docstring
 
+# Compiled-parity gate config: small enough that the three extra compiles
+# dominate its cost, big enough to cover every material + defocus blur.
+VERIFY_W, VERIFY_H, VERIFY_SPP, VERIFY_DEPTH = 240, 160, 8, 8
+# Compiled-vs-compiled tolerances.  Unlike the interpret-mode tests
+# (test_mxu.py: atol 2e-4, bit-for-bit discrete decisions), compiled
+# backends legally differ in fma contraction, which flips borderline
+# DISCRETE path choices (hit-vs-miss at tangency, argmin near-ties,
+# Schlick Bernoulli at the threshold) on rare pixels; each flip swaps in
+# a different-but-valid Monte-Carlo sample with O(1/spp) pixel impact.
+# Measured on v5e: median 2e-7, ~1% of pixels > 1e-2, mean bias < 1e-4.
+# A genuinely wrong kernel (broken gather / material / RNG) blows all
+# three of these by orders of magnitude.
+VERIFY_MEDIAN = 1e-5      # typical pixel must match to f32 noise
+VERIFY_BAD_FRAC = 0.02    # pixels allowed to differ > 1e-2 (flipped paths)
+VERIFY_BAD_TOL = 1e-2
+VERIFY_MEAN_BIAS = 5e-4   # |mean(a - b)| over the image: flips are noise,
+                          # a systematic error is a bug
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def make_render_fn(backend, scene, cluster_size):
+    """backend name -> uncompiled render(scene, camera, config, frame)."""
+    import functools
+
+    if backend == "mxu":
+        from bevy_raytrace_tpu.kernels.mxu_render import render_mxu_balanced
+
+        return render_mxu_balanced
+    if backend == "pallas":
+        from bevy_raytrace_tpu.kernels import cluster_scene, render_pallas
+
+        clusters = None
+        if cluster_size:
+            clusters = cluster_scene(scene, cluster_size=cluster_size)
+            log(
+                f"cluster culling: {clusters.n_clusters} clusters x "
+                f"{clusters.cluster_size}"
+            )
+        return functools.partial(render_pallas, clusters=clusters)
+    from bevy_raytrace_tpu.wavefront.render import render
+
+    return render
+
+
+def run_verify(scene, camera_fn, cluster_size):
+    """Compiled cross-backend parity on a small config -> "pass" (or exits).
+
+    This is the on-hardware analog of the interpret-mode equivalence
+    tests: Mosaic-compiled kernels can diverge from interpret mode
+    (fma contraction, excess-precision folding — see mxu_render.py), and
+    only a compiled-vs-compiled check catches that class.
+    """
+    import jax
+
+    from bevy_raytrace_tpu import RenderConfig
+
+    cfg = RenderConfig(
+        width=VERIFY_W, height=VERIFY_H, samples_per_pixel=VERIFY_SPP,
+        max_depth=VERIFY_DEPTH, spp_chunk=VERIFY_SPP,
+    )
+    camera = camera_fn(cfg.aspect)
+    images = {}
+    for backend in ("xla", "pallas", "mxu"):
+        fn = jax.jit(make_render_fn(backend, scene, cluster_size),
+                     static_argnums=2)
+        t0 = time.time()
+        images[backend] = np.asarray(
+            jax.block_until_ready(fn(scene, camera, cfg, 0)))
+        log(f"verify: {backend} rendered {VERIFY_W}x{VERIFY_H} "
+            f"in {time.time() - t0:.1f}s (compile incl.)")
+    for backend in ("pallas", "mxu"):
+        d = images[backend] - images["xla"]
+        err = np.abs(d).max(axis=-1)
+        med = float(np.median(err))
+        bad = float((err > VERIFY_BAD_TOL).mean())
+        bias = float(np.abs(d.mean(axis=(0, 1))).max())
+        ok = (np.isfinite(err).all() and med <= VERIFY_MEDIAN
+              and bad <= VERIFY_BAD_FRAC and bias <= VERIFY_MEAN_BIAS)
+        log(f"verify: {backend} vs xla: median={med:.2e} "
+            f"frac>{VERIFY_BAD_TOL}={bad:.4f} mean_bias={bias:.2e} "
+            f"-> {'ok' if ok else 'FAIL'}")
+        if not ok:
+            log(f"VERIFY FAILED: {backend} disagrees with xla")
+            print(json.dumps({
+                "metric": "verify failure", "value": med,
+                "unit": "median_abs_err", "vs_baseline": 0.0,
+                "verify": "fail",
+            }))
+            sys.exit(1)
+    return "pass"
 
 
 def main():
@@ -47,11 +151,14 @@ def main():
     p.add_argument("--depth", type=int, default=8)
     p.add_argument("--quick", action="store_true", help="16 spp variant")
     p.add_argument("--repeats", type=int, default=2)
-    p.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto")
+    p.add_argument("--backend", choices=["auto", "xla", "pallas", "mxu"],
+                   default="auto")
     p.add_argument("--ray-chunk", type=int, default=0)
     p.add_argument("--spp-chunk", type=int, default=0)
     p.add_argument("--cluster-size", type=int, default=12,
                    help="cluster-culled traversal (pallas; 0 = brute force)")
+    p.add_argument("--no-verify", action="store_true",
+                   help="skip the compiled cross-backend parity gate")
     args = p.parse_args()
     if args.quick:
         args.spp = 16
@@ -68,7 +175,7 @@ def main():
     spp_chunk = args.spp_chunk or min(args.spp, 4)
     ray_chunk = args.ray_chunk
     if ray_chunk == 0:
-        # Bound the [rays, spheres] workspace to ~256 MB.
+        # Bound the [rays, spheres] workspace to ~256 MB (xla backend).
         target = 120_000 // spp_chunk * spp_chunk
         ray_chunk = num_pixels
         for cand in range(target, 0, -1):
@@ -93,35 +200,17 @@ def main():
 
     backend = args.backend
     if backend == "auto":
-        backend = "xla"
-        try:
-            if platform == "tpu":
-                import bevy_raytrace_tpu.kernels  # noqa: F401
-
-                backend = "pallas"
-        except ImportError:
-            pass
-
-    if backend == "pallas":
-        import functools
-
-        from bevy_raytrace_tpu.kernels import cluster_scene, render_pallas
-
-        clusters = None
-        if args.cluster_size:
-            clusters = cluster_scene(scene, cluster_size=args.cluster_size)
-            log(
-                f"cluster culling: {clusters.n_clusters} clusters x "
-                f"{clusters.cluster_size}"
-            )
-        render_fn = functools.partial(render_pallas, clusters=clusters)
-    else:
-        from bevy_raytrace_tpu.wavefront.render import render as render_fn
-
-    step = jax.jit(render_fn, static_argnums=2)
+        backend = "mxu" if platform == "tpu" else "xla"
 
     # Pay the one-time tunnel warm-up (first D2H fetch) before timing.
     np.asarray(jax.jit(lambda: jax.numpy.zeros(8))())
+
+    verify = "skipped"
+    if not args.no_verify and platform == "tpu":
+        verify = run_verify(scene, rtiow_final_camera, args.cluster_size)
+
+    step = jax.jit(make_render_fn(backend, scene, args.cluster_size),
+                   static_argnums=2)
 
     t0 = time.time()
     img = jax.block_until_ready(step(scene, camera, config, 0))
@@ -141,8 +230,7 @@ def main():
     mean_px = float(np.asarray(img).mean())
     log(
         f"paths/frame={paths:,} frame_time={frame_time:.3f}s "
-        f"rays/s={rays_per_sec:,.0f} mean_pixel={mean_px:.4f} "
-        f"ray_bounce_sphere_tests/s={rays_per_sec * args.depth * scene.count:,.0f}"
+        f"rays/s={rays_per_sec:,.0f} mean_pixel={mean_px:.4f}"
     )
     if not np.isfinite(mean_px) or mean_px <= 0:
         log("WARNING: suspicious image statistics")
@@ -158,6 +246,7 @@ def main():
                 "value": rays_per_sec,
                 "unit": "rays/s",
                 "vs_baseline": rays_per_sec / REFERENCE_IMPLIED_RAYS_PER_SEC,
+                "verify": verify,
             }
         )
     )

@@ -26,20 +26,28 @@ import time
 import numpy as np
 
 
-# The pallas kernel sweeps spheres in unroll-wide blocks; cluster_size
-# must be a multiple or render_pallas raises deep inside the kernel
-# builder — validate at the flag boundary instead (ADVICE r1).
-_UNROLL = 6
+def _kernel_unroll():
+    # Imported lazily from the kernel module (not duplicated here) so the
+    # flag-boundary validation can never drift from the real constraint
+    # (ADVICE r2); falls back to the historical value if jax is absent so
+    # `--help` stays importable anywhere.
+    try:
+        from bevy_raytrace_tpu.kernels.pallas_render import UNROLL
+
+        return UNROLL
+    except ImportError:
+        return 6
 
 
 def _cluster_size(v):
     import argparse
 
     v = int(v)
-    if v and v % _UNROLL != 0:
+    unroll = _kernel_unroll()
+    if v and v % unroll != 0:
         raise argparse.ArgumentTypeError(
             f"--cluster-size must be 0 or a multiple of the kernel "
-            f"unroll ({_UNROLL}); got {v}")
+            f"unroll ({unroll}); got {v}")
     return v
 
 
@@ -68,7 +76,10 @@ def _add_render_args(p):
                    default=12,
                    help="cluster-culled traversal granularity (pallas "
                         "backend; 0 = brute force; must be a multiple of "
-                        f"the kernel unroll {_UNROLL})")
+                        "the kernel unroll)")
+    p.add_argument("--interpret", action="store_true",
+                   help="run Pallas kernels in interpreter mode (CPU "
+                        "debugging; mxu/pallas backends only)")
     p.add_argument("-o", "--output", default="render.png")
 
 
@@ -111,27 +122,42 @@ def _build(args):
 
 
 def _make_step(config, args, scene=None):
+    import functools
+
     import jax
 
+    backend = getattr(args, "backend", "xla")
+    interpret = getattr(args, "interpret", False)
     if args.sharded:
-        from bevy_raytrace_tpu.shard import make_mesh, render_sharded
+        from bevy_raytrace_tpu.shard import (
+            make_mesh,
+            render_mxu_sharded,
+            render_sharded,
+        )
 
         mesh = make_mesh()
         print(f"mesh: {mesh}", file=sys.stderr)
-        return jax.jit(render_sharded, static_argnums=(2, 3)), (config, mesh)
-    if getattr(args, "backend", "xla") == "mxu":
+        # --backend composes with --sharded: mxu routes to the fused v3
+        # kernel under shard_map (the config-5 path); xla/pallas use the
+        # differentiable wavefront (r2 bug: mxu was silently ignored).
+        if backend == "mxu":
+            fn = functools.partial(render_mxu_sharded, interpret=interpret)
+        else:
+            fn = render_sharded
+        return jax.jit(fn, static_argnums=(2, 3)), (config, mesh)
+    if backend == "mxu":
         from bevy_raytrace_tpu.kernels.mxu_render import render_mxu_balanced
 
-        return jax.jit(render_mxu_balanced, static_argnums=2), (config,)
-    if getattr(args, "backend", "xla") == "pallas":
-        import functools
-
+        fn = functools.partial(render_mxu_balanced, interpret=interpret)
+        return jax.jit(fn, static_argnums=2), (config,)
+    if backend == "pallas":
         from bevy_raytrace_tpu.kernels import cluster_scene, render_pallas
 
         clusters = None
         if args.cluster_size and scene is not None:
             clusters = cluster_scene(scene, cluster_size=args.cluster_size)
-        fn = functools.partial(render_pallas, clusters=clusters)
+        fn = functools.partial(render_pallas, clusters=clusters,
+                               interpret=interpret)
         return jax.jit(fn, static_argnums=2), (config,)
     from bevy_raytrace_tpu.wavefront.render import render
 
@@ -215,6 +241,19 @@ def cmd_inverse(args):
     config, scene_true, camera, _ = _build(args)
     opt_config = dataclasses.replace(config, edge_softness=0.01)
 
+    # --backend xla: differentiate the XLA wavefront (sweep paid in both
+    # directions).  --backend pallas/mxu: the residual-replay fast path —
+    # Pallas fused forward recording per-bounce winners, backward replays
+    # them with no sphere sweep (inverse/fast_grad.py).
+    render_fn = None
+    if getattr(args, "backend", "xla") != "xla":
+        from bevy_raytrace_tpu.inverse import make_fast_renderer
+
+        fast = make_fast_renderer(
+            opt_config, interpret=(getattr(args, "interpret", False)
+                                   or jax.default_backend() != "tpu"))
+        render_fn = lambda sc, cam, cfg, fr: fast(sc, cam, fr)  # noqa: E731
+
     target = jax.jit(render, static_argnums=2)(scene_true, camera, config, 9999)
     mats = dataclasses.replace(
         scene_true.materials,
@@ -228,7 +267,8 @@ def cmd_inverse(args):
             jnp.array([0.25, -0.1, 0.1], jnp.float32)),
     )
     problem = InverseProblem(config=opt_config, camera=camera, target=target,
-                             optimizable=("centers", "albedo"))
+                             optimizable=("centers", "albedo"),
+                             render_fn=render_fn)
     t0 = time.time()
     result = optimize(
         scene_bad, problem, steps=args.steps, learning_rate=args.lr,

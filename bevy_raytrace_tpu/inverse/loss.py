@@ -36,7 +36,7 @@ def image_l2_loss(img, target):
     return jnp.mean(diff * diff)
 
 
-def render_loss(scene, camera, config, target, frame=0):
+def render_loss(scene, camera, config, target, frame=0, render_fn=None):
     """Unbiased pixel L2 via the two-sample cross estimator.
 
     Renders twice with independent sample sets A and B (decorrelated
@@ -46,12 +46,19 @@ def render_loss(scene, camera, config, target, frame=0):
     E[dr_A (r_B - t) + (r_A - t) dr_B] = 2 (E r - t) dE r  is the unbiased
     gradient of the true objective.  This is what makes low-spp inverse
     rendering (BASELINE config 4) converge.
+
+    `render_fn(scene, camera, config, frame) -> image` swaps the renderer
+    (default: the XLA wavefront); pass the residual-replay fast path via
+    `inverse.fast_grad.make_fast_renderer` for a Pallas forward + replay
+    backward.
     """
+    if render_fn is None:
+        render_fn = render
     frame_a = (
         np.uint32(2) * np.uint32(frame)
         if isinstance(frame, int)
         else 2 * frame
     )
-    img_a = render(scene, camera, config, frame_a)
-    img_b = render(scene, camera, config, frame_a + 1)
+    img_a = render_fn(scene, camera, config, frame_a)
+    img_b = render_fn(scene, camera, config, frame_a + 1)
     return jnp.mean((img_a - target) * (img_b - target))

@@ -60,17 +60,24 @@ def _get_scene_params(scene: Scene, names: Sequence[str]) -> Dict[str, jnp.ndarr
 
 @dataclasses.dataclass
 class InverseProblem:
-    """An inverse-rendering problem definition."""
+    """An inverse-rendering problem definition.
+
+    `render_fn(scene, camera, config, frame) -> image` selects the
+    renderer the loss differentiates through: None = the XLA wavefront;
+    `inverse.fast_grad.make_fast_renderer` gives the Pallas forward +
+    residual-replay backward fast path.
+    """
 
     config: RenderConfig
     camera: object
     target: jnp.ndarray  # [H, W, 3] target image
     optimizable: Tuple[str, ...] = ("centers", "radii", "albedo")
+    render_fn: Optional[Callable] = None
 
     def loss_fn(self, params, scene, frame):
         return render_loss(
             _set_scene_params(scene, params), self.camera, self.config,
-            self.target, frame,
+            self.target, frame, render_fn=self.render_fn,
         )
 
 

@@ -139,6 +139,16 @@ def assemble_tiles(tiles, starts, num_pixels: int) -> np.ndarray:
     """
     tiles = [np.ascontiguousarray(t, np.float32).reshape(-1, 3)
              for t in tiles]
+    # Validate every stripe BEFORE dispatch: the native path is a raw
+    # memcpy loop, so an inconsistent stripe would be an out-of-bounds
+    # heap write there (and a shape-mismatch ValueError in numpy) —
+    # identical error either way (ADVICE r2).
+    for t, s0 in zip(tiles, starts):
+        s0 = int(s0)
+        if s0 < 0 or s0 + t.shape[0] > num_pixels:
+            raise ValueError(
+                f"tile stripe [{s0}, {s0 + t.shape[0]}) out of bounds for "
+                f"num_pixels={num_pixels}")
     out = np.zeros((num_pixels, 3), np.float32)
     lib = native.load()
     if lib is not None:

@@ -369,7 +369,11 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                     bsq = jnp.sqrt(bhb * bhb - bcq)  # NaN on miss
                     brn = -bhb - bsq
                     brf = bsq - bhb
-                    lanehit = (brf > t_min) & (brn < t_ub) & alive
+                    # <= (not <): when the nearest hit IS a priority
+                    # sphere whose chunk bound is tight, rounding can put
+                    # the bound's near root exactly at t_ub; strict <
+                    # would cull the winning chunk (ADVICE r2).
+                    lanehit = (brf > t_min) & (brn <= t_ub) & alive
                     accs[c // _BPW] = accs[c // _BPW] | jnp.where(
                         lanehit, np.int32(1 << (c % _BPW)), 0)
                 masks = [or_all(a) for a in accs]

@@ -36,9 +36,10 @@ class Renderer:
     """
 
     def __init__(self, config: RenderConfig, backend: str = "xla", mesh=None,
-                 cluster_size: int = 12):
+                 cluster_size: int = 12, interpret: bool = False):
         self.config = config
         self.backend = backend
+        self.interpret = interpret  # Pallas interpreter mode (CPU CI)
         self.frame = 0
         self.ready = False
         self.cluster_size = cluster_size
@@ -50,11 +51,15 @@ class Renderer:
             self._step = jax.jit(render, static_argnums=2)
             self._extra = (config,)
         elif backend == "mxu":
+            import functools
+
             from bevy_raytrace_tpu.kernels.mxu_render import (
                 render_mxu_balanced,
             )
 
-            self._step = jax.jit(render_mxu_balanced, static_argnums=2)
+            self._step = jax.jit(
+                functools.partial(render_mxu_balanced, interpret=interpret),
+                static_argnums=2)
             self._extra = (config,)
         elif backend == "pallas":
             import functools
@@ -62,24 +67,21 @@ class Renderer:
             from bevy_raytrace_tpu.kernels import cluster_scene, render_pallas
 
             # Cluster-culled traversal plan, built lazily from the first
-            # concrete scene (membership is static; bounds are recomputed
-            # from live geometry inside the kernel, so per-frame sphere
-            # edits — the reference's live re-upload path,
-            # `src/sphere.rs:180-197` — need no replanning).  The plan
-            # cache keys on a hash of the concrete sphere CENTERS, not
-            # just the count (ADVICE r1): same-count topology changes
-            # replan, and moving-sphere sessions can call `replan()`
-            # explicitly if cluster bounds drift loose.
-            self._fns = {}  # scene key -> jitted fn (bounded cache)
-
-            def _scene_key(scene):
-                import numpy as np
-
-                c = np.asarray(scene.centers)
-                return (c.shape[0], self.cluster_size, hash(c.tobytes()))
+            # concrete scene with each sphere count (membership is
+            # static; bounds are recomputed from live geometry inside the
+            # kernel, so per-frame sphere edits — the reference's live
+            # re-upload path, `src/sphere.rs:180-197` — render correctly
+            # with NO replanning, no recompile, and no per-frame
+            # device-to-host transfer).  The jitted fn caches on
+            # (count, cluster_size) only (ADVICE r2: a content hash here
+            # forced a D2H fetch + hash of all centers every frame and
+            # recompiled on any motion); sessions whose sphere motion
+            # leaves the Morton cluster bounds loose can call `replan()`
+            # to rebuild membership from the current scene.
+            self._fns = {}  # (count, cluster_size) -> jitted fn
 
             def step(scene, camera, config, frame):
-                key = _scene_key(scene)
+                key = (scene.count, self.cluster_size)
                 fn = self._fns.get(key)
                 if fn is None:
                     plan = (cluster_scene(
@@ -87,7 +89,8 @@ class Renderer:
                         if self.cluster_size and scene.count >= 32
                         else None)
                     fn = jax.jit(
-                        functools.partial(render_pallas, clusters=plan),
+                        functools.partial(render_pallas, clusters=plan,
+                                          interpret=self.interpret),
                         static_argnums=2,
                     )
                     if len(self._fns) >= 8:

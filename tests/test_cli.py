@@ -92,3 +92,32 @@ def test_cluster_size_validated_at_flag_boundary():
     with pytest.raises(SystemExit) as e:
         cli.main(["render", "--cluster-size", "16"])
     assert e.value.code != 0
+
+
+def test_render_sharded_mxu_composes(tmp_path, capsys):
+    """--sharded --backend mxu routes to render_mxu_sharded (r2 bug: the
+    backend flag was silently ignored) and matches the plain mxu image."""
+    a = str(tmp_path / "mxu.png")
+    b = str(tmp_path / "mxu_sharded.png")
+    base = ["render", "--scene", "config1", "--width", "64", "--height",
+            "32", "--spp", "1", "--depth", "2", "--backend", "mxu",
+            "--interpret"]
+    cli.main(base + ["-o", a])
+    cli.main(base + ["--sharded", "-o", b])
+    cap = capsys.readouterr()
+    assert "mesh:" in cap.err
+    ia = np.fromfile(a, np.uint8)
+    ib = np.fromfile(b, np.uint8)
+    assert np.array_equal(ia, ib)  # bit-identical across the mesh
+
+
+def test_inverse_fast_backend(tmp_path, capsys):
+    """cli inverse --backend pallas drives the residual-replay fast path
+    (inverse/fast_grad.py) end-to-end."""
+    out = str(tmp_path / "rec.png")
+    cli.main([
+        "inverse", "--width", "48", "--height", "32", "--spp", "1",
+        "--depth", "2", "--steps", "2", "--backend", "pallas", "-o", out,
+    ])
+    cap = capsys.readouterr()
+    assert "loss" in cap.err and os.path.exists(out)

@@ -59,3 +59,34 @@ def test_live_scene_edit_no_recompile():
 def test_unknown_backend():
     with pytest.raises(ValueError, match="backend"):
         Renderer(CFG, backend="cuda")
+
+
+def test_renderer_kernel_backends_interpret():
+    """The mxu/pallas Renderer wiring (plan cache, balanced path) runs in
+    CI via the interpreter — not only on real TPU (VERDICT r2 item 9)."""
+    scene, cam = _scene_cam()
+    ref = np.asarray(Renderer(CFG, backend="xla").render_frame(scene, cam))
+    for backend in ("pallas", "mxu"):
+        r = Renderer(CFG, backend=backend, interpret=True)
+        img = np.asarray(r.render_frame(scene, cam))
+        assert img.shape == ref.shape
+        err = np.abs(img - ref).max(axis=-1)
+        assert np.median(err) < 1e-6, backend
+        assert (err > 1e-3).mean() < 0.005, backend
+
+
+def test_renderer_pallas_no_replan_on_scene_edit():
+    """Moving spheres must not rebuild the plan or recompile (ADVICE r2):
+    the jitted-fn cache keys on (count, cluster_size) only."""
+    import dataclasses
+
+    scene, cam = _scene_cam()
+    r = Renderer(CFG, backend="pallas", interpret=True)
+    r.render_frame(scene, cam)
+    fns = dict(r._fns)
+    moved = dataclasses.replace(scene, centers=scene.centers + 0.25)
+    img = np.asarray(r.render_frame(moved, cam))
+    assert r._fns == fns  # same cached fn object, no new entry
+    assert np.isfinite(img).all()
+    r.replan()
+    assert not r._fns
