@@ -48,8 +48,12 @@ class RenderConfig:
         unchanged (hard visibility), but each hit contributes an extra
         gradient term  d(sigmoid(margin/softness)) * (L_path - L_sky)
         approximating the visibility/boundary integral that plain autodiff
-        misses (exact for silhouettes against the sky, approximate against
-        occluders).  Geometry recovery (sphere centers/radii) needs this;
+        misses.  The term is ONE-SIDED (sky completion): quantified in
+        tests/test_silhouette.py — against the sky the gradient has the
+        right sign at ~0.3-1x magnitude; against an OCCLUDED object it
+        substitutes sky for the occluded radiance and can even flip sign
+        (measured: g_fd -0.43 vs g_ad +0.035 on an edge-over-sphere
+        fixture).  Use for sky-dominated recovery (the config-1/4 demos);
         see inverse/ and SURVEY.md §7 "hard parts".
     """
 

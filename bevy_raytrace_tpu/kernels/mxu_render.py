@@ -74,12 +74,17 @@ from bevy_raytrace_tpu.kernels.pallas_render import (
 )
 
 TILE_ROWS = 8
-SPHERE_CHUNK = 256
-# round_unroll > 1 measured SLOWER on v5e (register/scheduling pathology
-# chaining bodies); per-round loop overhead is only ~0.2us marginal once
-# the ~26us fixed per-TILE cost is accounted, so 1 is right.
+# One fused chunk (no per-chunk concatenate+min seam): r3 sweep measured
+# sc=512 at 74.1M vs 70.1M for sc=64/128 on the bench scene (s_pad 512).
+SPHERE_CHUNK = 512
+# round_unroll > 1 measured SLOWER on v5e (r3 re-check at vp=16/sc=512:
+# ru=2 -> 54M, ru=4 -> 49M vs 74M at ru=1 — register/scheduling pathology
+# chaining bodies).
 ROUND_UNROLL = 1
-V_PLANES = 4
+# Deep tiles: 32 pixels per lane pools straggler variance ~32-fold; r3
+# sweep: vp=4 -> 65.1M, vp=16 -> 74.1M, vp=32 -> 74.6M rays/s.  Clamped
+# per render so small images do not pad past their pixel count.
+V_PLANES = 32
 # Packed nearest-hit key: f32 t bits with the low IDX_BITS replaced by the
 # sphere index.  Ties resolve to the lowest index — the reference's
 # strict-< first-wins scan order (`intersect.wgsl:137-141`).
@@ -92,7 +97,8 @@ _NO_HIT = np.int32(np.iinfo(np.int32).max)
 def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                  chunk: int, sample_base: int = 0, max_rounds: int = 0,
                  n_cull: int = 0, n_prio: int = 0, round_unroll: int = 1,
-                 v_planes: int = 1, dump=None, debug_expr=None):
+                 v_planes: int = 1, track_len: bool = True, dump=None,
+                 debug_expr=None):
     if (dump is not None or debug_expr) and v_planes != 1:
         raise ValueError("debug probes require v_planes == 1")
     width = np.float32(config.width)
@@ -269,7 +275,11 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                     cv = cond if pms[v] is None else (cond & pms[v])
                     accs[v] = accs[v] + jnp.where(cv, vals, 0.0)
 
-            if debug_expr != 'livechunks':
+            if track_len and debug_expr != 'livechunks':
+                # Path-length cost map (drives balance_perm).  The
+                # balanced MAIN pass skips this: v_planes where+adds per
+                # round for an output nobody reads (r3: ~2% of the round
+                # at vp=32).
                 plane_add(lens, alive, 1.0)
                 len_acc = lens[0]
 
@@ -297,9 +307,17 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                 """Dense (chunk, R) sweep -> packed nearest-hit keys."""
                 hb = ocx * dxr + ocy * dyr + ocz * dzr
                 cq = (ocx * ocx + ocy * ocy + ocz * ocz) - r2c
-                sq = jnp.sqrt(hb * hb - cq)  # NaN on miss
+                if debug_expr == 'swp_nosqrt':
+                    sq = (hb * hb - cq) * 0.5  # probe: sqrt -> mul
+                else:
+                    sq = jnp.sqrt(hb * hb - cq)  # NaN on miss
                 rn = -hb - sq
                 rf = sq - hb
+                if debug_expr == 'swp_float':
+                    # probe: float-min selection, no key packing
+                    tn = jnp.where(rn > t_min, rn, rf)
+                    return jnp.where(
+                        tn > t_min, tn, 3.0e38).astype(jnp.float32)
                 tn = jnp.where(rn > t_min, rn, rf)
                 valid = tn > t_min  # NaN compares false
                 bits = jax.lax.bitcast_convert_type(tn, jnp.int32)
@@ -324,6 +342,10 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                 packed_all = (packed_chunks[0] if n_chunks == 1
                               else jnp.concatenate(packed_chunks, axis=0))
                 best = jnp.min(packed_all, axis=0, keepdims=True)  # (1, R)
+                if debug_expr == 'swp_float':
+                    # probe: float min selected; re-enter int key flow
+                    best = jax.lax.bitcast_convert_type(
+                        best, jnp.int32) & _KEY_MASK
             else:
                 # ---- priority spheres: a per-lane nearest-t upper bound -
                 # The K largest spheres (RTiOW: the r=1000 ground + the
@@ -817,7 +839,8 @@ def render_mxu(
     img, _ = render_mxu_with_len(
         scene, camera, config, frame, interpret=interpret,
         tile_rows=tile_rows, sphere_chunk=sphere_chunk, perm=perm,
-        plan=plan, round_unroll=round_unroll, v_planes=v_planes)
+        plan=plan, round_unroll=round_unroll, v_planes=v_planes,
+        track_len=False)
     return img
 
 
@@ -835,6 +858,7 @@ def render_mxu_lanes(
     plan=None,
     round_unroll: int = ROUND_UNROLL,
     v_planes: int = V_PLANES,
+    track_len: bool = True,
     dump=None,
     debug_expr=None,
 ):
@@ -879,7 +903,8 @@ def render_mxu_lanes(
                           sample_base=sample_base, max_rounds=max_rounds,
                           n_cull=n_cull, n_prio=n_prio,
                           round_unroll=round_unroll, v_planes=v_planes,
-                          dump=dump, debug_expr=debug_expr)
+                          track_len=track_len, dump=dump,
+                          debug_expr=debug_expr)
     out_shape = jax.ShapeDtypeStruct((n_rows, 128), jnp.float32)
     fb_spec = pl.BlockSpec((tile_rows * v_planes, 128), lambda t: (t, 0),
                            memory_space=pltpu.VMEM)
@@ -923,7 +948,11 @@ def render_mxu_lanes(
 
 def lane_pad(num_pixels: int, tile_rows: int = TILE_ROWS,
              v_planes: int = V_PLANES) -> int:
-    """Lane-slot count for `num_pixels` (rounded up to whole tiles)."""
+    """Lane-slot count for `num_pixels` (rounded up to whole tiles).
+
+    v_planes is clamped the same way the renderers clamp it, so a small
+    image is never padded past its own pixel count."""
+    v_planes = max(1, min(v_planes, num_pixels // (tile_rows * 128)))
     tile_px = tile_rows * 128 * v_planes
     return -(-num_pixels // tile_px) * tile_px
 
@@ -941,10 +970,15 @@ def render_mxu_with_len(
     plan=None,
     round_unroll: int = ROUND_UNROLL,
     v_planes: int = V_PLANES,
+    track_len: bool = True,
 ):
     """As `render_mxu`, also returning per-pixel mean path length [H, W]
-    (the cost map that drives `balance_perm`)."""
+    (the cost map that drives `balance_perm`; all-zero with
+    track_len=False, which saves ~2% of the round)."""
     num_pixels = config.num_pixels
+    # Deep tiles must not pad a small image past its pixel count: clamp
+    # so one tile covers at most the whole image.
+    v_planes = max(1, min(v_planes, num_pixels // (tile_rows * 128)))
     if config.max_depth <= 0:
         # Depth 0 = no path segments at all (`lax.scan` over zero rounds
         # in the XLA path); the refill loop always runs >= 1 round, so
@@ -965,7 +999,7 @@ def render_mxu_with_len(
         scene, camera, config, pids.reshape(p_pad // 128, 128), frame,
         interpret=interpret, tile_rows=tile_rows, sphere_chunk=sphere_chunk,
         sample_base=sample_base, plan=plan, round_unroll=round_unroll,
-        v_planes=v_planes)
+        v_planes=v_planes, track_len=track_len)
 
     # Scatter lane slots back to their absolute pixels (no-op for the
     # identity perm; drops the padding lanes either way).
@@ -1064,6 +1098,6 @@ def render_mxu_balanced(scene, camera, config: RenderConfig, frame=0,
         scene, camera, config=rest_cfg, frame=frame, interpret=interpret,
         tile_rows=tile_rows, sphere_chunk=sphere_chunk, perm=perm,
         sample_base=probe_spp, plan=plan, round_unroll=round_unroll,
-        v_planes=v_planes)
+        v_planes=v_planes, track_len=False)
     w = np.float32(1.0 / config.samples_per_pixel)
     return (probe_img * (w * probe_spp)) + (rest_img * (w * rest))

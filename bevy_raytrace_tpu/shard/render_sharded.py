@@ -92,6 +92,8 @@ def render_mxu_sharded(
     cross-device traffic and composes with any mesh shape.
     """
     from bevy_raytrace_tpu.kernels.mxu_render import (
+        TILE_ROWS,
+        V_PLANES,
         lane_pad,
         render_mxu_lanes,
     )
@@ -105,6 +107,9 @@ def render_mxu_sharded(
     local = num_pixels // n_devices
     if config.max_depth <= 0:
         return jnp.zeros((config.height, config.width, 3), jnp.float32)
+    # Same clamp lane_pad applies: a device's stripe must not pad past
+    # its own pixel count under deep tiles.
+    v_planes = max(1, min(V_PLANES, local // (TILE_ROWS * 128)))
     p_pad = lane_pad(local)
 
     @functools.partial(
@@ -125,7 +130,7 @@ def render_mxu_sharded(
         def run(cfg, pids):
             fb, ln = render_mxu_lanes(
                 scene, camera, cfg, (start + pids).reshape(p_pad // 128, 128),
-                frame, interpret=interpret)
+                frame, interpret=interpret, v_planes=v_planes)
             return fb, ln
 
         if balance:

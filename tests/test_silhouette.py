@@ -1,0 +1,122 @@
+"""Silhouette (visibility) gradient quality: measured bounds.
+
+`RenderConfig.edge_softness > 0` adds a one-sided straight-through
+boundary term at the hit sphere's silhouette (wavefront/render.py): the
+soft visibility blends the surface radiance with SKY.  That models edges
+against the sky correctly, but against an occluded object the true
+background radiance is the occluded object, not sky — so the term's
+magnitude (and even sign, when the occluder is darker than sky) can be
+wrong there (VERDICT r2 item 7).
+
+These tests QUANTIFY that envelope against central finite differences of
+the hard (edge_softness=0) render — the ground truth, since the RNG is
+counter-based and both FD evaluations replay identical sample decisions:
+
+  * sky-background edge: sign correct, magnitude within ~3x
+    (measured on this fixture: g_fd ~ -0.027, g_ad ~ -0.0093);
+  * occluded edge: the boundary term is NOT trusted — measured here the
+    one-sided term gives the wrong sign (g_fd ~ -0.43, g_ad ~ +0.035).
+    The test bounds |g_ad| << |g_fd| so a future two-sided term (which
+    would track g_fd) will intentionally fail and retire these bounds.
+
+Geometry recovery tests that rely on the term (tests/test_inverse.py) use
+sky-dominated configs, which is exactly the regime validated here.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bevy_raytrace_tpu import RenderConfig
+from bevy_raytrace_tpu.core.camera import Camera
+from bevy_raytrace_tpu.scenes.builders import _build
+from bevy_raytrace_tpu.scenes.registry import MaterialRegistry
+from bevy_raytrace_tpu.wavefront.render import render
+
+CFG_SOFT = RenderConfig(width=64, height=32, samples_per_pixel=32,
+                        max_depth=3, edge_softness=0.02)
+CFG_HARD = dataclasses.replace(CFG_SOFT, edge_softness=0.0)
+CAM = Camera.look_at(lookfrom=(0.0, 0.0, 1.0), lookat=(0.0, 0.0, -1.0),
+                     vfov_deg=40.0, aspect=2.0, aperture=0.0)
+
+
+def _grad_and_fd(scene, sphere_idx, window, eps=0.01):
+    """d(window mean)/d(center_x) by AD (soft) and central FD (hard)."""
+
+    def loss(theta, cfg):
+        sc = dataclasses.replace(
+            scene, centers=scene.centers.at[sphere_idx, 0].add(theta))
+        img = render(sc, CAM, cfg, 0)
+        return jnp.mean(img[window[0], window[1], :])
+
+    lf = jax.jit(loss, static_argnums=1)
+    g_ad = float(jax.jit(jax.grad(loss), static_argnums=1)(0.0, CFG_SOFT))
+    g_fd = (float(lf(eps, CFG_HARD)) - float(lf(-eps, CFG_HARD))) / (2 * eps)
+    return g_ad, g_fd
+
+
+def test_silhouette_gradient_against_sky():
+    """Edge over sky: the regime the one-sided term is built for."""
+    reg = MaterialRegistry()
+    g = reg.lambertian("ground", (0.5, 0.5, 0.5))
+    ma = reg.lambertian("front", (0.8, 0.3, 0.1))
+    scene = _build([
+        ((0.0, -100.5, -1.0), 100.0, g),
+        ((0.35, 0.35, -1.0), 0.25, ma),  # floats against the sky
+    ], reg)
+    g_ad, g_fd = _grad_and_fd(scene, 1, (slice(0, 16), slice(32, 48)))
+    assert np.sign(g_ad) == np.sign(g_fd), (g_ad, g_fd)
+    ratio = abs(g_ad) / abs(g_fd)
+    # Measured 2026-08: ratio ~ 0.34 (the soft edge integrates the jump
+    # over its sigmoid width; exactness is not claimed, usable descent
+    # direction is).  Bound the envelope so regressions surface.
+    assert 0.15 < ratio < 3.0, (g_ad, g_fd)
+
+
+def test_silhouette_gradient_against_occluder_is_biased():
+    """Edge over another sphere: the one-sided term substitutes sky for
+    the occluded object's radiance and is NOT trusted — here it is ~12x
+    too small with the wrong sign.  This test pins the measured envelope;
+    a correct two-sided term would track g_fd and should retire it."""
+    reg = MaterialRegistry()
+    g = reg.lambertian("ground", (0.5, 0.5, 0.5))
+    mb = reg.lambertian("back", (0.1, 0.2, 0.7))
+    ma = reg.lambertian("front", (0.8, 0.3, 0.1))
+    scene = _build([
+        ((0.0, -100.5, -1.0), 100.0, g),
+        ((0.0, 0.0, -2.0), 0.6, mb),      # occluded sphere behind
+        ((0.35, 0.05, -1.0), 0.25, ma),   # edge lies over B, not sky
+    ], reg)
+    g_ad, g_fd = _grad_and_fd(scene, 2, (slice(8, 24), slice(30, 52)))
+    # Measured 2026-08: g_fd ~ -0.43 (true silhouette derivative vs the
+    # occluded sphere), g_ad ~ +0.035 (sky-completion bias).  The bias is
+    # real and documented; bound it rather than pretend it's small.
+    assert abs(g_fd) > 0.2, f"fixture lost its occluded edge (g_fd={g_fd})"
+    assert abs(g_ad) < 0.3 * abs(g_fd), (g_ad, g_fd)
+
+
+def test_edge_softness_zero_off_silhouette_unbiased():
+    """Interior (non-silhouette) gradients are unaffected by the edge
+    term: soft and hard AD agree where visibility is locally constant."""
+    reg = MaterialRegistry()
+    g = reg.lambertian("ground", (0.5, 0.5, 0.5))
+    ma = reg.lambertian("front", (0.8, 0.3, 0.1))
+    scene = _build([
+        ((0.0, -100.5, -1.0), 100.0, g),
+        ((0.0, 0.1, -1.0), 0.45, ma),
+    ], reg)
+
+    def loss(alb, cfg):
+        mats = dataclasses.replace(
+            scene.materials,
+            albedo=scene.materials.albedo.at[1, 0].set(alb))
+        sc = dataclasses.replace(scene, materials=mats)
+        img = render(sc, CAM, cfg, 0)
+        return jnp.mean(img)
+
+    g_soft = float(jax.jit(jax.grad(loss), static_argnums=1)(0.8, CFG_SOFT))
+    g_hard = float(jax.jit(jax.grad(loss), static_argnums=1)(0.8, CFG_HARD))
+    np.testing.assert_allclose(g_soft, g_hard, rtol=1e-3)

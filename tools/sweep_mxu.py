@@ -33,6 +33,8 @@ def run(spec):
     spp = int(kv.get("spp", 32))
     depth = int(kv.get("depth", 8))
     probe = int(kv.get("p", 16))
+    vp = int(kv.get("vp", mxu_render.V_PLANES))
+    ru = int(kv.get("ru", mxu_render.ROUND_UNROLL))
     mode = kv.get("mode", "")
 
     config = RenderConfig(width=1200, height=800, samples_per_pixel=spp,
@@ -43,26 +45,32 @@ def run(spec):
 
     if mode == "plain":
         fn = jax.jit(functools.partial(
-            mxu_render.render_mxu, tile_rows=tr, sphere_chunk=sc, plan=plan),
+            mxu_render.render_mxu, tile_rows=tr, sphere_chunk=sc, plan=plan,
+            v_planes=vp, round_unroll=ru),
             static_argnums=2)
     elif mode == "inco":
         orig = mxu_render.balance_perm
         mxu_render.balance_perm = functools.partial(orig, coherent=False)
         fn = jax.jit(functools.partial(
             mxu_render.render_mxu_balanced, tile_rows=tr, sphere_chunk=sc,
-            probe_spp=probe, plan=plan), static_argnums=2)
+            probe_spp=probe, plan=plan, v_planes=vp, round_unroll=ru),
+            static_argnums=2)
     else:
         fn = jax.jit(functools.partial(
             mxu_render.render_mxu_balanced, tile_rows=tr, sphere_chunk=sc,
-            probe_spp=probe, plan=plan), static_argnums=2)
+            probe_spp=probe, plan=plan, v_planes=vp, round_unroll=ru),
+            static_argnums=2)
 
     t0 = time.time()
-    img = jax.block_until_ready(fn(scene, camera, config, 0))
+    img = fn(scene, camera, config, 0)
+    float(np.asarray(img[0, 0, 0]))  # D2H forces completion (the axon
+    # tunnel's block_until_ready can phantom-return)
     compile_s = time.time() - t0
     times = []
     for i in range(2):
         t0 = time.time()
-        img = jax.block_until_ready(fn(scene, camera, config, i + 1))
+        img = fn(scene, camera, config, i + 1)
+        float(np.asarray(img[0, 0, 0]))
         times.append(time.time() - t0)
     ft = min(times)
     rps = config.rays_per_frame / ft
