@@ -143,6 +143,63 @@ def run_verify(scene, camera_fn, cluster_size):
     return "pass"
 
 
+def run_grad_bench(scene, camera_fn):
+    """Differentiable-path throughput: paths/s for one value_and_grad
+    step (forward + backward) on a reduced config, via the residual-
+    replay fast path (inverse/fast_grad.py) and the XLA wavefront.
+
+    The reference has no gradients at all; BASELINE asks for backward
+    throughput recorded.  Returns a dict of extra JSON fields (empty on
+    failure — the primary metric must never be lost to a grad issue).
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from bevy_raytrace_tpu import RenderConfig
+    from bevy_raytrace_tpu.inverse import make_fast_renderer
+    from bevy_raytrace_tpu.wavefront.render import render
+
+    cfg = RenderConfig(width=400, height=300, samples_per_pixel=16,
+                       max_depth=8, spp_chunk=4)
+    camera = camera_fn(cfg.aspect)
+    fast = make_fast_renderer(cfg)
+
+    def loss_fast(centers):
+        sc = dataclasses.replace(scene, centers=centers)
+        return jnp.mean(fast(sc, camera, 1) ** 2)
+
+    def loss_xla(centers):
+        sc = dataclasses.replace(scene, centers=centers)
+        return jnp.mean(render(sc, camera, cfg, 1) ** 2)
+
+    out = {}
+    try:
+        for name, fn in (("fast", loss_fast), ("xla", loss_xla)):
+            g = jax.jit(jax.value_and_grad(fn))
+            _, gr = g(scene.centers)
+            if not bool(jnp.isfinite(gr).all()):
+                raise ValueError(f"{name}: non-finite gradients")
+            times = []
+            for _ in range(2):
+                t0 = time.time()
+                _, gr = g(scene.centers)
+                float(np.asarray(gr[0, 0]))  # D2H forces completion
+                times.append(time.time() - t0)
+            pps = cfg.rays_per_frame / min(times)
+            out[f"grad_{name}_paths_per_s"] = pps
+            log(f"grad bench ({name}): {min(times):.3f}s/step, "
+                f"{pps:,.0f} paths/s fwd+bwd "
+                f"({cfg.width}x{cfg.height}x{cfg.samples_per_pixel}spp)")
+        out["grad_fast_speedup"] = (out["grad_fast_paths_per_s"]
+                                    / out["grad_xla_paths_per_s"])
+    except Exception as e:  # noqa: BLE001
+        log(f"grad bench failed (primary metric unaffected): {e}")
+        return {}
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--width", type=int, default=1200)
@@ -159,6 +216,8 @@ def main():
                    help="cluster-culled traversal (pallas; 0 = brute force)")
     p.add_argument("--no-verify", action="store_true",
                    help="skip the compiled cross-backend parity gate")
+    p.add_argument("--no-grad", action="store_true",
+                   help="skip the gradient-step throughput measurement")
     args = p.parse_args()
     if args.quick:
         args.spp = 16
@@ -209,6 +268,10 @@ def main():
     if not args.no_verify and platform == "tpu":
         verify = run_verify(scene, rtiow_final_camera, args.cluster_size)
 
+    grad_fields = {}
+    if not args.no_grad and platform == "tpu":
+        grad_fields = run_grad_bench(scene, rtiow_final_camera)
+
     step = jax.jit(make_render_fn(backend, scene, args.cluster_size),
                    static_argnums=2)
 
@@ -247,6 +310,7 @@ def main():
                 "unit": "rays/s",
                 "vs_baseline": rays_per_sec / REFERENCE_IMPLIED_RAYS_PER_SEC,
                 "verify": verify,
+                **grad_fields,
             }
         )
     )

@@ -87,8 +87,17 @@ def replay_paths(scene, camera, config: RenderConfig, pixel_ids, sample_ids,
         oc2 = jnp.sum(oc * oc, axis=-1)
         cq = oc2 - r * r
         disc = hb * hb - cq
-        # Double-where sqrt guard: miss lanes must not leak NaN grads.
-        sq = jnp.sqrt(jnp.where(hit, jnp.maximum(disc, 0.0), 1.0))
+        # Double-where sqrt guard, TWO hazards (not just masked misses):
+        # the kernel recorded `hit` under Mosaic's fma contraction, so a
+        # tangency-grazing winner can REPLAY with disc <= 0 here even
+        # though the kernel saw disc > 0.  sqrt'(0)=inf would then NaN
+        # every gradient (observed compiled-on-TPU, r3).  Flipped lanes
+        # take value sq=0 (t = -hb, the tangent point) with zero gradient
+        # through sq — the physically unbounded tangency derivative is
+        # straight-through dropped, matching the XLA path's policy of
+        # piecewise-constant discrete structure.
+        pos = hit & (disc > 0.0)
+        sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
         rn = -hb - sq
         rf = sq - hb
         t_hit = jnp.where(rn > t_min, rn, rf)

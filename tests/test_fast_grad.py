@@ -26,6 +26,8 @@ from bevy_raytrace_tpu.scenes import (
     baseline_config1_scene,
     baseline_config2_camera,
     baseline_config2_scene,
+    rtiow_final_camera,
+    rtiow_final_scene,
 )
 from bevy_raytrace_tpu.wavefront.render import render
 
@@ -153,3 +155,40 @@ def test_fast_renderer_under_jit_and_value_and_grad():
     assert np.isfinite(float(loss))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0.0
+
+
+def test_fast_grads_rtiow_bulk_agreement():
+    """The RTiOW final scene (defocus camera, metal+glass at grazing
+    angles) exposes the near-tangency pathology: a path with disc -> 0
+    has d(t)/d(theta) ~ 1/sqrt(disc), so single grazing samples dominate
+    BOTH estimators' gradient norms and are maximally sensitive to
+    ulp-level codegen differences (measured r3: |g_xla|_max was 90x its
+    own p99 at 8 spp — outlier noise, not signal).  The contract that CAN
+    be asserted: the replayed fast path matches the XLA path on the BULK
+    of components; the outlier tail differs because the two backends
+    resolve tangency flips differently, not because a pathway is
+    missing."""
+    import numpy as _np
+
+    scene, _ = rtiow_final_scene(seed=0)
+    cfg = RenderConfig(width=96, height=48, samples_per_pixel=8,
+                       max_depth=6, spp_chunk=4)
+    cam = rtiow_final_camera(cfg.aspect)
+    fast = make_fast_renderer(cfg, interpret=True)
+
+    def lf(c):
+        sc = dataclasses.replace(scene, centers=c)
+        return jnp.mean(fast(sc, cam, 1) ** 2)
+
+    def lx(c):
+        sc = dataclasses.replace(scene, centers=c)
+        return jnp.mean(render(sc, cam, cfg, 1) ** 2)
+
+    gf = _np.asarray(jax.grad(lf)(scene.centers)).ravel()
+    gx = _np.asarray(jax.grad(lx)(scene.centers)).ravel()
+    assert _np.isfinite(gf).all() and _np.isfinite(gx).all()
+    d = _np.abs(gf - gx)
+    trimmed = _np.sort(d)[: int(0.98 * d.size)]
+    scale = _np.percentile(_np.abs(gx), 99)
+    # Measured r3: trimmed max 1.3e-4 vs p99 1.4e-3 (ratio 0.095).
+    assert trimmed.max() < 0.3 * scale, (trimmed.max(), scale)
