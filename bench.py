@@ -218,6 +218,9 @@ def main():
                    help="skip the compiled cross-backend parity gate")
     p.add_argument("--no-grad", action="store_true",
                    help="skip the gradient-step throughput measurement")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of one timed frame "
+                        "to DIR (open with XProf/Perfetto)")
     args = p.parse_args()
     if args.quick:
         args.spp = 16
@@ -286,6 +289,14 @@ def main():
         img = jax.block_until_ready(step(scene, camera, config, i + 1))
         times.append(time.time() - t0)
         log(f"frame {i + 1}: {times[-1]:.3f}s")
+
+    if args.trace:
+        from bevy_raytrace_tpu.utils.metrics import trace_profile
+
+        with trace_profile(args.trace):
+            img = step(scene, camera, config, args.repeats + 1)
+            np.asarray(img[0, 0, 0])  # D2H forces completion
+        log(f"frame trace captured to {args.trace}")
 
     frame_time = min(times)
     paths = config.rays_per_frame

@@ -191,31 +191,36 @@ def cmd_animate(args):
     import jax
 
     from bevy_raytrace_tpu.core.camera import Camera
-    from bevy_raytrace_tpu.io import write_image
+    from bevy_raytrace_tpu.io import FrameWriter
 
     config, scene, camera, _ = _build(args)
     step, extra = _make_step(config, args, scene)
     os.makedirs(args.output, exist_ok=True)
     t_first = t_rest = 0.0
-    for i in range(args.frames):
-        ang = 2.0 * np.pi * i / args.frames
-        cam = Camera.look_at(
-            lookfrom=(13.0 * np.cos(ang), 2.0, 13.0 * np.sin(ang)),
-            lookat=(0.0, 0.0, 0.0),
-            vfov_deg=20.0,
-            aspect=config.aspect,
-            aperture=0.1,
-            focus_dist=10.0,
-        )
-        t0 = time.time()
-        img = jax.block_until_ready(step(scene, cam, *extra, i))
-        dt = time.time() - t0
-        if i == 0:
-            t_first = dt
-        else:
-            t_rest += dt
-        write_image(os.path.join(args.output, f"frame_{i:04d}.png"),
-                    np.asarray(img))
+    # Async writeback: the C++ worker pool (io/writer.py) tone-maps,
+    # encodes and writes frame i while the device renders frame i+1 —
+    # the frame loop never stalls on IO (the reference's presentation
+    # path never blocks either; its image never leaves the GPU).
+    with FrameWriter() as fw:
+        for i in range(args.frames):
+            ang = 2.0 * np.pi * i / args.frames
+            cam = Camera.look_at(
+                lookfrom=(13.0 * np.cos(ang), 2.0, 13.0 * np.sin(ang)),
+                lookat=(0.0, 0.0, 0.0),
+                vfov_deg=20.0,
+                aspect=config.aspect,
+                aperture=0.1,
+                focus_dist=10.0,
+            )
+            t0 = time.time()
+            img = jax.block_until_ready(step(scene, cam, *extra, i))
+            dt = time.time() - t0
+            if i == 0:
+                t_first = dt
+            else:
+                t_rest += dt
+            fw.submit(os.path.join(args.output, f"frame_{i:04d}.png"),
+                      np.asarray(img))
     if args.frames > 1:
         print(
             f"first frame {t_first:.2f}s (compile), then "

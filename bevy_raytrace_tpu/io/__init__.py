@@ -6,6 +6,7 @@ from bevy_raytrace_tpu.io.image import (
     write_png,
     write_ppm,
 )
+from bevy_raytrace_tpu.io.writer import FrameWriter
 
 __all__ = ["assemble_tiles", "tonemap", "write_png", "write_ppm",
-           "write_exr", "write_image"]
+           "write_exr", "write_image", "FrameWriter"]

@@ -63,6 +63,20 @@ def load():
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float),
             ]
+            lib.brt_writer_create.argtypes = [ctypes.c_int]
+            lib.brt_writer_create.restype = ctypes.c_void_p
+            lib.brt_writer_submit.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            lib.brt_writer_submit.restype = ctypes.c_int
+            lib.brt_writer_wait.argtypes = [ctypes.c_void_p]
+            lib.brt_writer_wait.restype = ctypes.c_int
+            lib.brt_writer_destroy.argtypes = [ctypes.c_void_p]
             _lib = lib
         except Exception:
             _lib = None

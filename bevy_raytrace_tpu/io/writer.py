@@ -1,0 +1,114 @@
+"""Asynchronous frame writeback — the frame-loop IO executor.
+
+The reference never persists frames: its output lives as a GPU texture
+presented by the sprite pass (`src/ray_trace_output.rs:65-77`), so its
+frame loop never blocks on IO.  A headless TPU renderer writes every
+frame to disk; doing that synchronously stalls the chip for the
+tone-map + encode + write time of each frame.  `FrameWriter` restores
+the overlap: `submit()` copies the frame and returns immediately, a
+native C++ worker pool (csrc/brt_native.cpp: brt_writer_*) tone-maps,
+encodes and writes in the background, and `wait()` joins at the end of
+the sequence.  Falls back to a Python thread pool over `write_image`
+when the native library is unavailable (identical bytes either way —
+same encoders).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from bevy_raytrace_tpu.io import native
+from bevy_raytrace_tpu.io.image import write_image
+
+_FMT = {".png": 0, ".ppm": 1, ".exr": 2}
+
+
+class FrameWriter:
+    """Background frame writer.
+
+    Usage:
+        with FrameWriter() as fw:
+            for i in range(n):
+                img = step(...)          # device renders frame i+1 while
+                fw.submit(path_i, img)   # ...frame i encodes on the host
+        # __exit__ waits and raises if any frame failed to write
+    """
+
+    def __init__(self, n_threads: int = 2):
+        self._lib = native.load()
+        self._handle = None
+        self._pool = None
+        self._futures = []
+        if self._lib is not None:
+            self._handle = self._lib.brt_writer_create(int(n_threads))
+        if self._handle is None:
+            import concurrent.futures
+
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=n_threads)
+
+    @property
+    def native(self) -> bool:
+        return self._handle is not None
+
+    def submit(self, path: str, img) -> None:
+        """Enqueue a linear float [H, W, 3] frame; returns immediately.
+
+        The buffer is copied before returning, so callers may overwrite
+        or free `img` right away.  Format follows the extension
+        (.png / .ppm / .exr, same dispatch as `write_image`).
+        """
+        ext = os.path.splitext(path)[1].lower()
+        if ext not in _FMT:
+            raise ValueError(f"unsupported image extension: {path}")
+        if self._handle is not None:
+            rgb = np.ascontiguousarray(np.asarray(img), np.float32)
+            if rgb.ndim != 3 or rgb.shape[2] != 3:
+                raise ValueError(f"expected [H, W, 3] frame, got {rgb.shape}")
+            h, w, _ = rgb.shape
+            rc = self._lib.brt_writer_submit(
+                self._handle,
+                path.encode(),
+                rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                w,
+                h,
+                _FMT[ext],
+            )
+            if rc != 0:
+                raise RuntimeError(f"brt_writer_submit failed ({rc})")
+        else:
+            arr = np.array(np.asarray(img), np.float32, copy=True)
+            self._futures.append(self._pool.submit(write_image, path, arr))
+
+    def wait(self) -> None:
+        """Block until every submitted frame is on disk; raise on failure."""
+        if self._handle is not None:
+            failed = self._lib.brt_writer_wait(self._handle)
+            if failed:
+                raise IOError(f"{failed} frame(s) failed to write")
+        else:
+            futures, self._futures = self._futures, []
+            for f in futures:
+                f.result()  # re-raises the worker's exception
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.brt_writer_destroy(self._handle)
+            self._handle = None
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        try:
+            if exc_type is None:
+                self.wait()
+        finally:
+            self.close()
+        return False

@@ -307,17 +307,9 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                 """Dense (chunk, R) sweep -> packed nearest-hit keys."""
                 hb = ocx * dxr + ocy * dyr + ocz * dzr
                 cq = (ocx * ocx + ocy * ocy + ocz * ocz) - r2c
-                if debug_expr == 'swp_nosqrt':
-                    sq = (hb * hb - cq) * 0.5  # probe: sqrt -> mul
-                else:
-                    sq = jnp.sqrt(hb * hb - cq)  # NaN on miss
+                sq = jnp.sqrt(hb * hb - cq)  # NaN on miss
                 rn = -hb - sq
                 rf = sq - hb
-                if debug_expr == 'swp_float':
-                    # probe: float-min selection, no key packing
-                    tn = jnp.where(rn > t_min, rn, rf)
-                    return jnp.where(
-                        tn > t_min, tn, 3.0e38).astype(jnp.float32)
                 tn = jnp.where(rn > t_min, rn, rf)
                 valid = tn > t_min  # NaN compares false
                 bits = jax.lax.bitcast_convert_type(tn, jnp.int32)
@@ -342,10 +334,6 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                 packed_all = (packed_chunks[0] if n_chunks == 1
                               else jnp.concatenate(packed_chunks, axis=0))
                 best = jnp.min(packed_all, axis=0, keepdims=True)  # (1, R)
-                if debug_expr == 'swp_float':
-                    # probe: float min selected; re-enter int key flow
-                    best = jax.lax.bitcast_convert_type(
-                        best, jnp.int32) & _KEY_MASK
             else:
                 # ---- priority spheres: a per-lane nearest-t upper bound -
                 # The K largest spheres (RTiOW: the r=1000 ground + the

@@ -245,4 +245,131 @@ void brt_assemble_tiles(const float* const* tiles, const int64_t* starts,
   }
 }
 
+
+// ------------------------------------------------- async frame writer
+
+// A worker-pool executor that overlaps host-side encoding/IO with device
+// rendering: the frame loop submits a frame (buffer copied immediately,
+// so the caller may reuse it) and continues; workers tone-map + encode +
+// write in the background.  This is the runtime piece the reference gets
+// for free from its GPU presentation path (the image never leaves the
+// GPU, `src/ray_trace_output.rs:65-77`); a headless TPU renderer must
+// pipeline writeback explicitly or stall the chip between frames.
+
+}  // extern "C"
+
+#include <condition_variable>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+
+namespace {
+
+struct WriteJob {
+  std::string path;
+  std::vector<float> rgb;  // linear float, h*w*3
+  int w, h;
+  int fmt;  // 0=png 1=ppm 2=exr
+};
+
+struct Writer {
+  std::deque<WriteJob> queue;
+  std::mutex mu;
+  std::condition_variable cv;       // workers wait for jobs
+  std::condition_variable done_cv;  // wait() waits for drain
+  std::vector<std::thread> threads;
+  int in_flight = 0;
+  int failed = 0;
+  bool stop = false;
+};
+
+void writer_worker(Writer* wr) {
+  for (;;) {
+    WriteJob job;
+    {
+      std::unique_lock<std::mutex> lk(wr->mu);
+      wr->cv.wait(lk, [&] { return wr->stop || !wr->queue.empty(); });
+      if (wr->queue.empty()) return;  // stop && drained
+      job = std::move(wr->queue.front());
+      wr->queue.pop_front();
+    }
+    int rc = 0;
+    const size_t n = (size_t)job.w * job.h * 3;
+    if (job.fmt == 2) {
+      rc = brt_write_exr(job.path.c_str(), job.rgb.data(), job.w, job.h);
+    } else {
+      std::vector<uint8_t> u8(n);
+      brt_tonemap_srgb(job.rgb.data(), u8.data(), (int64_t)n);
+      rc = job.fmt == 0
+               ? brt_write_png(job.path.c_str(), u8.data(), job.w, job.h)
+               : brt_write_ppm(job.path.c_str(), u8.data(), job.w, job.h);
+    }
+    {
+      std::lock_guard<std::mutex> lk(wr->mu);
+      if (rc != 0) wr->failed++;
+      wr->in_flight--;
+      if (wr->in_flight == 0 && wr->queue.empty()) wr->done_cv.notify_all();
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* brt_writer_create(int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  Writer* wr = new Writer();
+  for (int i = 0; i < n_threads; i++) {
+    wr->threads.emplace_back(writer_worker, wr);
+  }
+  return wr;
+}
+
+// Copies `rgb` (linear float [h, w, 3]) and enqueues; returns 0.
+int brt_writer_submit(void* handle, const char* path, const float* rgb,
+                      int w, int h, int fmt) {
+  Writer* wr = static_cast<Writer*>(handle);
+  if (!wr || !path || !rgb || w <= 0 || h <= 0 || fmt < 0 || fmt > 2)
+    return -1;
+  WriteJob job;
+  job.path = path;
+  job.rgb.assign(rgb, rgb + (size_t)w * h * 3);
+  job.w = w;
+  job.h = h;
+  job.fmt = fmt;
+  {
+    std::lock_guard<std::mutex> lk(wr->mu);
+    wr->queue.push_back(std::move(job));
+    wr->in_flight++;
+  }
+  wr->cv.notify_one();
+  return 0;
+}
+
+// Blocks until every submitted job has been written; returns the number
+// of failed jobs since the last wait (and resets that counter).
+int brt_writer_wait(void* handle) {
+  Writer* wr = static_cast<Writer*>(handle);
+  if (!wr) return -1;
+  std::unique_lock<std::mutex> lk(wr->mu);
+  wr->done_cv.wait(lk, [&] { return wr->in_flight == 0 && wr->queue.empty(); });
+  int failed = wr->failed;
+  wr->failed = 0;
+  return failed;
+}
+
+void brt_writer_destroy(void* handle) {
+  Writer* wr = static_cast<Writer*>(handle);
+  if (!wr) return;
+  {
+    std::lock_guard<std::mutex> lk(wr->mu);
+    wr->stop = true;
+  }
+  wr->cv.notify_all();
+  for (auto& t : wr->threads) t.join();
+  delete wr;
+}
+
 }  // extern "C"

@@ -90,3 +90,20 @@ def test_renderer_pallas_no_replan_on_scene_edit():
     assert np.isfinite(img).all()
     r.replan()
     assert not r._fns
+
+
+def test_renderer_mxu_temporal_perm_reuse():
+    """mxu backend: frame 0 caches the cost-map permutation; later frames
+    render on it probe-free and stay bit-exact to the plain kernel
+    (perm only reassigns lanes).  replan() drops the cache."""
+    from bevy_raytrace_tpu.kernels.mxu_render import render_mxu
+
+    scene, cam = _scene_cam()
+    r = Renderer(CFG, backend="mxu", interpret=True)
+    r.render_frame(scene, cam)  # frame 0: balanced + probe, caches perm
+    assert r._perm is not None
+    img1 = np.asarray(r.render_frame(scene, cam))  # frame 1: cached perm
+    ref1 = np.asarray(render_mxu(scene, cam, CFG, 1, interpret=True))
+    np.testing.assert_array_equal(img1, ref1)
+    r.replan()
+    assert r._perm is None

@@ -119,3 +119,65 @@ def test_assemble_tiles_native_and_fallback():
     finally:
         native_mod.load = orig
     np.testing.assert_array_equal(got2, full)
+
+
+def test_frame_writer_matches_sync_writes(tmp_path):
+    """Async writeback (native worker pool) produces byte-identical files
+    to the synchronous path — same encoders behind a queue."""
+    from bevy_raytrace_tpu.io import FrameWriter, write_image
+
+    rng = np.random.default_rng(7)
+    frames = [rng.random((24, 32, 3), np.float32).astype(np.float32)
+              for _ in range(5)]
+    with FrameWriter(n_threads=3) as fw:
+        for i, img in enumerate(frames):
+            fw.submit(str(tmp_path / f"a_{i}.png"), img)
+            fw.submit(str(tmp_path / f"a_{i}.ppm"), img)
+    for i, img in enumerate(frames):
+        write_image(str(tmp_path / f"s_{i}.png"), img)
+        write_image(str(tmp_path / f"s_{i}.ppm"), img)
+        for ext in ("png", "ppm"):
+            a = (tmp_path / f"a_{i}.{ext}").read_bytes()
+            s = (tmp_path / f"s_{i}.{ext}").read_bytes()
+            assert a == s, f"frame {i} .{ext} differs"
+
+
+def test_frame_writer_submit_returns_before_write(tmp_path):
+    """submit() copies the buffer: mutating the source after submit must
+    not corrupt the output."""
+    from bevy_raytrace_tpu.io import FrameWriter, write_image
+
+    img = np.full((16, 16, 3), 0.25, np.float32)
+    ref = str(tmp_path / "ref.png")
+    write_image(ref, img.copy())
+    with FrameWriter() as fw:
+        fw.submit(str(tmp_path / "async.png"), img)
+        img[:] = 0.9  # trash the source immediately
+    assert (tmp_path / "async.png").read_bytes() == open(ref, "rb").read()
+
+
+def test_frame_writer_error_surfaces_on_wait(tmp_path):
+    """A failing frame (unwritable directory) raises at wait(), not
+    silently."""
+    import pytest as _pytest
+
+    from bevy_raytrace_tpu.io import FrameWriter
+
+    img = np.zeros((8, 8, 3), np.float32)
+    fw = FrameWriter()
+    try:
+        fw.submit(str(tmp_path / "no_such_dir" / "x.png"), img)
+        with _pytest.raises((IOError, OSError)):
+            fw.wait()
+    finally:
+        fw.close()
+
+
+def test_frame_writer_rejects_bad_inputs(tmp_path):
+    from bevy_raytrace_tpu.io import FrameWriter
+
+    with FrameWriter() as fw:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="extension"):
+            fw.submit(str(tmp_path / "x.bmp"), np.zeros((4, 4, 3), np.float32))

@@ -43,9 +43,12 @@ def main():
     n_tiles = p_pad // (tr * 128)
     rounds_total = n_tiles * max_rounds
 
+    # (r3 one-shot probes swp_nosqrt/swp_float measured sqrt at 0.7us
+    # and key packing at ~0 before being removed from the kernel; see
+    # BENCHMARKS.md.)
     probes = [("full", None), ("loop_only", "loop_only"),
-              ("nosweep", "nosweep"), ("swp_nosqrt", "swp_nosqrt"),
-              ("swp_float", "swp_float"), ("full_fori", "full_fori")]
+              ("nosweep", "nosweep"), ("nogather", "nogather"),
+              ("noshade", "noshade"), ("full_fori", "full_fori")]
     base = None
     for name, expr in probes:
         fn = jax.jit(functools.partial(
