@@ -262,13 +262,22 @@ def main():
 
     backend = args.backend
     if backend == "auto":
-        backend = "mxu" if platform == "tpu" else "xla"
+        backend = "xla"
+        if platform == "tpu":
+            try:
+                import bevy_raytrace_tpu.kernels.mxu_render  # noqa: F401
+
+                backend = "mxu"
+            except ImportError as e:
+                # Degrade to the XLA wavefront rather than losing the
+                # metric line entirely (e.g. a jax build without Mosaic).
+                log(f"mxu backend unavailable ({e}); falling back to xla")
 
     # Pay the one-time tunnel warm-up (first D2H fetch) before timing.
     np.asarray(jax.jit(lambda: jax.numpy.zeros(8))())
 
     verify = "skipped"
-    if not args.no_verify and platform == "tpu":
+    if not args.no_verify and platform == "tpu" and backend != "xla":
         verify = run_verify(scene, rtiow_final_camera, args.cluster_size)
 
     grad_fields = {}

@@ -138,11 +138,20 @@ def _make_step(config, args, scene=None):
         mesh = make_mesh()
         print(f"mesh: {mesh}", file=sys.stderr)
         # --backend composes with --sharded: mxu routes to the fused v3
-        # kernel under shard_map (the config-5 path); xla/pallas use the
+        # kernel under shard_map (the config-5 path); xla uses the
         # differentiable wavefront (r2 bug: mxu was silently ignored).
+        # The v1 pallas kernel has no sharded form — reject rather than
+        # silently benchmark the wrong path.
+        if backend == "pallas":
+            raise SystemExit(
+                "--sharded supports --backend xla or mxu (the v1 pallas "
+                "kernel has no sharded form)")
         if backend == "mxu":
             fn = functools.partial(render_mxu_sharded, interpret=interpret)
         else:
+            if interpret:
+                print("note: --interpret is ignored for the sharded xla "
+                      "backend", file=sys.stderr)
             fn = render_sharded
         return jax.jit(fn, static_argnums=(2, 3)), (config, mesh)
     if backend == "mxu":

@@ -143,6 +143,9 @@ def assemble_tiles(tiles, starts, num_pixels: int) -> np.ndarray:
     # memcpy loop, so an inconsistent stripe would be an out-of-bounds
     # heap write there (and a shape-mismatch ValueError in numpy) —
     # identical error either way (ADVICE r2).
+    if len(tiles) != len(starts):
+        raise ValueError(
+            f"{len(tiles)} tiles but {len(starts)} starts")
     for t, s0 in zip(tiles, starts):
         s0 = int(s0)
         if s0 < 0 or s0 + t.shape[0] > num_pixels:

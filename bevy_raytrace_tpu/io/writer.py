@@ -91,8 +91,18 @@ class FrameWriter:
                 raise IOError(f"{failed} frame(s) failed to write")
         else:
             futures, self._futures = self._futures, []
+            errors = []
             for f in futures:
-                f.result()  # re-raises the worker's exception
+                try:
+                    f.result()
+                except Exception as e:  # noqa: BLE001 — collected below
+                    errors.append(e)
+            if errors:
+                # Match the native path: report ALL failures, not just
+                # the first future's.
+                raise IOError(
+                    f"{len(errors)} frame(s) failed to write: "
+                    + "; ".join(str(e) for e in errors[:4]))
 
     def close(self) -> None:
         if self._handle is not None:

@@ -55,24 +55,22 @@ class Renderer:
 
             from bevy_raytrace_tpu.kernels.mxu_render import (
                 balance_perm,
-                render_mxu_balanced,
                 render_mxu_with_len,
             )
 
-            # Temporal cost-map reuse: frame 0 runs the self-contained
-            # balanced render AND a cheap probe to cache the pixel
+            # Temporal cost-map reuse: frame 0 runs a cheap identity-
+            # layout probe (whose samples COUNT, like render_mxu_balanced
+            # with probe_reuse), sorts pixels by the measured cost map,
+            # renders the remaining samples balanced, and caches the
             # permutation; later frames render full-spp straight onto the
-            # cached perm (no probe).  Every frame's image is bit-exact
-            # to the unbalanced kernel (the perm only changes lane
-            # assignment); the perm is a pure throughput knob that decays
-            # gracefully under scene/camera motion — call `replan()`
-            # after large motion to re-probe.  This is the mxu analog of
-            # the reference reusing its buffers across frames
+            # cached perm — no probe at all.  Every frame's image is
+            # bit-exact to the unbalanced kernel (the perm only changes
+            # lane assignment); the perm is a pure throughput knob that
+            # decays gracefully under scene/camera motion — call
+            # `replan()` after large motion to re-probe.  The mxu analog
+            # of the reference reusing its buffers across frames
             # (`src/ray_trace_rays.rs:44-70`).
             self._perm = None
-            self._balanced = jax.jit(
-                functools.partial(render_mxu_balanced, interpret=interpret),
-                static_argnums=2)
             self._probe = jax.jit(
                 functools.partial(render_mxu_with_len, interpret=interpret),
                 static_argnums=2)
@@ -85,18 +83,26 @@ class Renderer:
             def step(scene, camera, config, frame):
                 import dataclasses
 
-                if self._perm is None:
-                    probe_cfg = dataclasses.replace(
-                        config,
-                        samples_per_pixel=min(16, config.samples_per_pixel),
-                        spp_chunk=0)
-                    _, len_map = self._probe(scene, camera, probe_cfg,
-                                             frame)
-                    self._perm = self._balance_perm(len_map)
-                    return self._balanced(scene, camera, config, frame)
-                img, _ = self._permed(scene, camera, config, frame,
-                                      perm=self._perm)
-                return img
+                if self._perm is not None:
+                    img, _ = self._permed(scene, camera, config, frame,
+                                          perm=self._perm)
+                    return img
+                probe_spp = min(16, config.samples_per_pixel)
+                probe_cfg = dataclasses.replace(
+                    config, samples_per_pixel=probe_spp, spp_chunk=0)
+                probe_img, len_map = self._probe(scene, camera, probe_cfg,
+                                                 frame)
+                self._perm = self._balance_perm(len_map)
+                rest = config.samples_per_pixel - probe_spp
+                if rest == 0:
+                    return probe_img
+                rest_cfg = dataclasses.replace(
+                    config, samples_per_pixel=rest, spp_chunk=0)
+                rest_img, _ = self._permed(
+                    scene, camera, rest_cfg, frame, perm=self._perm,
+                    sample_base=probe_spp)
+                w = 1.0 / config.samples_per_pixel
+                return probe_img * (w * probe_spp) + rest_img * (w * rest)
 
             self._step = step
             self._extra = (config,)

@@ -121,3 +121,14 @@ def test_inverse_fast_backend(tmp_path, capsys):
     ])
     cap = capsys.readouterr()
     assert "loss" in cap.err and os.path.exists(out)
+
+
+def test_render_sharded_pallas_rejected():
+    """--sharded --backend pallas has no implementation: reject loudly
+    instead of silently falling back to the XLA wavefront."""
+    with pytest.raises(SystemExit, match="sharded"):
+        cli.main([
+            "render", "--scene", "config1", "--width", "64", "--height",
+            "32", "--spp", "1", "--depth", "2", "--sharded", "--backend",
+            "pallas", "-o", "/tmp/never.png",
+        ])

@@ -181,3 +181,11 @@ def test_frame_writer_rejects_bad_inputs(tmp_path):
 
         with _pytest.raises(ValueError, match="extension"):
             fw.submit(str(tmp_path / "x.bmp"), np.zeros((4, 4, 3), np.float32))
+
+
+def test_assemble_tiles_length_mismatch_rejected():
+    from bevy_raytrace_tpu.io import assemble_tiles
+
+    tiles = [np.zeros((4, 3), np.float32), np.zeros((4, 3), np.float32)]
+    with pytest.raises(ValueError, match="starts"):
+        assemble_tiles(tiles, [0], 8)
