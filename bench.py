@@ -284,19 +284,36 @@ def main():
     if not args.no_grad and platform == "tpu":
         grad_fields = run_grad_bench(scene, rtiow_final_camera)
 
-    step = jax.jit(make_render_fn(backend, scene, args.cluster_size),
-                   static_argnums=2)
+    if backend == "mxu":
+        # Steady-state session: the Renderer probes the cost map once on
+        # frame 0 and renders later frames straight onto the cached
+        # permutation (bit-exact; wavefront/engine.py).  Frame timing
+        # below therefore measures what a real frame loop sustains —
+        # probe amortized like compilation is.
+        from bevy_raytrace_tpu.wavefront import Renderer
 
-    t0 = time.time()
-    img = jax.block_until_ready(step(scene, camera, config, 0))
-    compile_and_first = time.time() - t0
+        renderer = Renderer(config, backend="mxu")
+
+        def step(scene, camera, config, frame):
+            renderer.frame = frame
+            return renderer.render_frame(scene, camera)
+    else:
+        step = jax.jit(make_render_fn(backend, scene, args.cluster_size),
+                       static_argnums=2)
+
+    def run_frame(i):
+        t0 = time.time()
+        img = step(scene, camera, config, i)
+        np.asarray(img[0, 0, 0])  # D2H forces completion (tunnel quirk)
+        return img, time.time() - t0
+
+    img, compile_and_first = run_frame(0)
     log(f"compile + first frame: {compile_and_first:.1f}s")
 
     times = []
     for i in range(args.repeats):
-        t0 = time.time()
-        img = jax.block_until_ready(step(scene, camera, config, i + 1))
-        times.append(time.time() - t0)
+        img, dt = run_frame(i + 1)
+        times.append(dt)
         log(f"frame {i + 1}: {times[-1]:.3f}s")
 
     if args.trace:

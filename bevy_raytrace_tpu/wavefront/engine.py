@@ -74,10 +74,12 @@ class Renderer:
             self._probe = jax.jit(
                 functools.partial(render_mxu_with_len, interpret=interpret),
                 static_argnums=2)
+            # sample_base is a kernel-builder constant (folded into the
+            # RNG counters), so it must be static, not traced.
             self._permed = jax.jit(
                 functools.partial(render_mxu_with_len, interpret=interpret,
                                   track_len=False),
-                static_argnums=2)
+                static_argnums=2, static_argnames=("sample_base",))
             self._balance_perm = jax.jit(balance_perm)
 
             def step(scene, camera, config, frame):

@@ -107,3 +107,19 @@ def test_renderer_mxu_temporal_perm_reuse():
     np.testing.assert_array_equal(img1, ref1)
     r.replan()
     assert r._perm is None
+
+
+def test_renderer_mxu_frame0_rest_pass():
+    """spp > probe size exercises frame 0's sample_base rest pass (the
+    path a traced sample_base would break — caught on TPU in r3):
+    frame 0 equals the self-contained balanced render bit-for-bit."""
+    import dataclasses
+
+    from bevy_raytrace_tpu.kernels.mxu_render import render_mxu_balanced
+
+    cfg = dataclasses.replace(CFG, samples_per_pixel=32)
+    scene, cam = _scene_cam()
+    r = Renderer(cfg, backend="mxu", interpret=True)
+    img0 = np.asarray(r.render_frame(scene, cam))
+    ref0 = np.asarray(render_mxu_balanced(scene, cam, cfg, 0, interpret=True))
+    np.testing.assert_array_equal(img0, ref0)
