@@ -46,6 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from bevy_raytrace_tpu.config import RenderConfig
+from bevy_raytrace_tpu.core.geometry import gather_rows, sphere_table
 from bevy_raytrace_tpu.core.materials import scatter, sky_color
 from bevy_raytrace_tpu.core.types import Ray
 from bevy_raytrace_tpu.rng.pcg import uniform4
@@ -54,62 +55,13 @@ from bevy_raytrace_tpu.wavefront.render import CAMERA_STREAM, FRAME_MIX
 _UNIT_Z = np.array([0.0, 0.0, 1.0], np.float32)
 
 
-@jax.custom_vjp
-def _row_gather(tbl, si):
-    """tbl[si] with an MXU-shaped transpose.
-
-    The default transpose of a row gather is a scatter-add of K updates
-    into the small table — slow on TPU.  This VJP instead accumulates
-    the cotangents with a one-hot matmul: [S, K] @ [K, C] on the MXU.
-    The one-hot is exact 0/1 f32 and the products are exactly the
-    incoming cotangents, so this matches the scatter-add bit-for-f32
-    up to summation order.  Measured: the whole gradient step 3.15M ->
-    4.1M paths/s on v5e (400x300x16spp)."""
-    return tbl[si]
-
-
-def _row_gather_fwd(tbl, si):
-    return tbl[si], (si, tbl.shape[0])
-
-
-def _row_gather_bwd(saved, g):
-    si, s_rows = saved
-    onehot = (si[:, None] == jnp.arange(s_rows, dtype=si.dtype)[None, :]
-              ).astype(jnp.float32)  # [K, S]
-    d_tbl = jnp.dot(onehot.T, g, preferred_element_type=jnp.float32)
-    return (d_tbl, None)
-
-
-_row_gather.defvjp(_row_gather_fwd, _row_gather_bwd)
-
-
-def sphere_table(centers, radii, materials, mat_id):
-    """Pack per-sphere replay attributes into ONE [S, 10] table:
-    [cx, cy, cz, r, albedo_rgb, kind, fuzz, ior].
-
-    One row gather per bounce instead of seven separate gathers — XLA's
-    TPU row-gather cost is per gather op, and fusing them measured the
-    whole replay forward 5.1x faster on v5e (0.79 s -> 0.15 s at
-    400x300x16spp).  Built once per replay; gradients flow back through
-    the build (the transpose scatters into the small [S, ...] tables,
-    cheap)."""
-    return jnp.concatenate([
-        centers,
-        radii[:, None],
-        materials.albedo[mat_id],
-        materials.kind[mat_id].astype(jnp.float32)[:, None],
-        materials.fuzz[mat_id][:, None],
-        materials.ior[mat_id][:, None],
-    ], axis=1)
-
-
 def replay_paths(scene, camera, config: RenderConfig, pixel_ids, sample_ids,
                  seed, res_db, tbl, remat: bool = True):
     """Differentiable re-trace of recorded paths -> radiance [K, 3].
 
     res_db: int32 [max_depth, K] winner sphere index per bounce (-1 miss);
-    indices refer to rows of `tbl` (`sphere_table`, in the kernel's
-    possibly cluster-permuted sphere order).  RNG counters are identical
+    indices refer to rows of `tbl` (`core.geometry.sphere_table`, in the
+    kernel's possibly cluster-permuted sphere order).  RNG counters are identical
     to the forward kernel's, so the replayed path IS the sampled path.
     """
     t_min = np.float32(config.t_min)
@@ -130,7 +82,7 @@ def replay_paths(scene, camera, config: RenderConfig, pixel_ids, sample_ids,
         ray, throughput, radiance, alive = carry
         o, d = ray.origin, ray.dir
         hit = (sidx >= 0) & alive
-        g = _row_gather(tbl, jnp.maximum(sidx, 0))  # [K, 10], one gather
+        g = gather_rows(tbl, jnp.maximum(sidx, 0))  # [K, 11], one gather
         c = g[:, 0:3]
         r = g[:, 3]
 

@@ -37,7 +37,10 @@ import jax.numpy as jnp
 
 from bevy_raytrace_tpu.config import RenderConfig
 from bevy_raytrace_tpu.core.camera import Camera
-from bevy_raytrace_tpu.core.geometry import intersect_scene
+from bevy_raytrace_tpu.core.geometry import (
+    intersect_scene_fused,
+    sphere_table,
+)
 from bevy_raytrace_tpu.core.materials import scatter, sky_color
 from bevy_raytrace_tpu.core.types import Ray, Scene
 from bevy_raytrace_tpu.rng.pcg import uniform4
@@ -53,11 +56,17 @@ FRAME_MIX = 0x85EBCA6B
 
 def _bounce_step(scene: Scene, config: RenderConfig, pixel_ids, sample_ids, seed):
     """Returns the scan body for one (intersect -> shade) round."""
+    # One packed winner gather per bounce instead of seven (centers,
+    # radius, material id + 4 material params): the table is built here,
+    # outside the scan, and its single `gather_rows` has an MXU-matmul
+    # transpose (core/geometry.py).  Values are bit-identical.
+    table = sphere_table(scene.centers, scene.radii, scene.materials,
+                         scene.material_id)
 
     def body(carry, bounce_idx):
         ray, throughput, radiance, alive = carry
-        hit = intersect_scene(ray, scene, config.t_min, config.t_max)
-        albedo, kind, fuzz, ior = scene.gather_material(hit.material)
+        hit, albedo, kind, fuzz, ior = intersect_scene_fused(
+            ray, scene, config.t_min, config.t_max, table)
         u = uniform4(pixel_ids, sample_ids, bounce_idx, seed)
         new_dir, attenuation, scatter_ok = scatter(
             ray.dir, hit.normal, hit.front_face, albedo, kind, fuzz, ior, u
