@@ -61,6 +61,10 @@ def gather_rows(tbl, idx):
     incoming cotangents, so this matches the scatter-add up to summation
     order.  Measured on v5e: the residual-replay gradient step went
     3.15M -> 4.1M paths/s from this transpose alone.
+
+    Note: as a custom_vjp primitive this supports reverse-mode AD only;
+    forward-mode (jax.jvp / jax.hessian through the renderer) is not
+    part of the supported surface (BASELINE needs grad, not jvp).
     """
     return tbl[idx]
 
