@@ -58,7 +58,8 @@ def gather_rows(tbl, idx):
     into the small per-sphere table — slow on TPU.  This VJP accumulates
     the cotangents with an exact f32 one-hot matmul ([S, R] @ [R, C] on
     the MXU) instead; products with a 0/1 one-hot are exactly the
-    incoming cotangents, so this matches the scatter-add up to summation
+    incoming cotangents (3 exact bf16 limb passes — see
+    _gather_rows_bwd), so this matches the scatter-add up to summation
     order.  Measured on v5e: the residual-replay gradient step went
     3.15M -> 4.1M paths/s from this transpose alone.
 
@@ -73,11 +74,37 @@ def _gather_rows_fwd(tbl, idx):
     return tbl[idx], (idx, tbl.shape[0])
 
 
+def _trunc_top8(v):
+    """Keep the top 8 mantissa bits of f32 (exactly bf16-representable).
+
+    Integer masking, NOT a bf16 round-trip: under TPU XLA's
+    --xla_allow_excess_precision=true the round-trip `v - f32(bf16(v))`
+    may legally fold to zero (same hazard the mxu kernel's limb split
+    documents)."""
+    bits = jax.lax.bitcast_convert_type(v, jnp.int32)
+    return jax.lax.bitcast_convert_type(bits & np.int32(~0xFFFF),
+                                        jnp.float32)
+
+
 def _gather_rows_bwd(saved, g):
     idx, s_rows = saved
+    # bf16 one-hot (exact 0/1) x 3 exact bf16 limbs of g: each product is
+    # exact, f32 accumulation is exact, hi+mid+lo reassembles g exactly —
+    # full f32 cotangents in 3 bf16 MXU passes.  A plain f32 dot at
+    # default precision would silently run as bf16 on TPU (rounding every
+    # cotangent to ~8 mantissa bits), and Precision.HIGHEST costs 6
+    # passes over the large one-hot operand.
     onehot = (idx[:, None] == jnp.arange(s_rows, dtype=idx.dtype)[None, :]
-              ).astype(jnp.float32)  # [R, S]
-    d_tbl = jnp.dot(onehot.T, g, preferred_element_type=jnp.float32)
+              ).astype(jnp.bfloat16)  # [R, S]
+    hi = _trunc_top8(g)
+    r1 = g - hi
+    mid = _trunc_top8(r1)
+    lo = r1 - mid
+    d_tbl = None
+    for limb in (hi, mid, lo):
+        part = jnp.dot(onehot.T, limb.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        d_tbl = part if d_tbl is None else d_tbl + part
     return (d_tbl, None)
 
 
@@ -101,6 +128,8 @@ def sphere_table(centers, radii, materials, material_id):
         materials.kind[material_id].astype(jnp.float32)[:, None],
         materials.fuzz[material_id][:, None],
         materials.ior[material_id][:, None],
+        # f32 round-trip is exact for ids < 2^24 (a scene with 16M
+        # materials is far beyond this renderer's scale).
         material_id.astype(jnp.float32)[:, None],
     ], axis=1)
 

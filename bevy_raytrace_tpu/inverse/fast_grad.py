@@ -55,9 +55,12 @@ from bevy_raytrace_tpu.wavefront.render import CAMERA_STREAM, FRAME_MIX
 _UNIT_Z = np.array([0.0, 0.0, 1.0], np.float32)
 
 
-def replay_paths(scene, camera, config: RenderConfig, pixel_ids, sample_ids,
+def replay_paths(camera, config: RenderConfig, pixel_ids, sample_ids,
                  seed, res_db, tbl, remat: bool = True):
     """Differentiable re-trace of recorded paths -> radiance [K, 3].
+
+    Scene cotangents flow exclusively through `tbl` (built by the
+    caller from the scene; there is no separate scene argument).
 
     res_db: int32 [max_depth, K] winner sphere index per bounce (-1 miss);
     indices refer to rows of `tbl` (`core.geometry.sphere_table`, in the
@@ -201,7 +204,7 @@ def replay_image(scene, camera, config: RenderConfig, res, frame=0,
 
     def per_sample(fb_sum, xs):
         s_id, res_s = xs
-        rad = replay_paths(scene, camera, config, pixel_ids,
+        rad = replay_paths(camera, config, pixel_ids,
                            s_id, seed, res_s, tbl, remat=remat)
         return fb_sum + rad, None
 
