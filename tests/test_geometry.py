@@ -125,3 +125,28 @@ def test_batched_rays():
     s = _scene([[0, 0, -2]], [0.5])
     h = _shoot(s, [[0, 0, 0], [10, 0, 0]], [[0, 0, -1], [0, 0, -1]])
     assert bool(h.hit[0]) and not bool(h.hit[1])
+
+
+def test_gather_rows_transpose_matches_scatter_add():
+    """gather_rows' one-hot-matmul VJP (3 exact bf16 limbs) must produce
+    the same table cotangents as the native scatter-add transpose up to
+    f32 summation order (a plain f32 dot at default TPU matmul precision
+    would instead round every cotangent to bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bevy_raytrace_tpu.core.geometry import gather_rows
+
+    rng = np.random.default_rng(3)
+    tbl = jnp.asarray(rng.standard_normal((37, 11)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 37, size=4096), jnp.int32)
+    w = jnp.asarray(rng.standard_normal((4096, 11)), jnp.float32)
+
+    g_fused = jax.grad(lambda t: jnp.sum(gather_rows(t, idx) * w))(tbl)
+    g_ref = jax.grad(lambda t: jnp.sum(t[idx] * w))(tbl)
+    # Products are exact; only the f32 SUM order differs between the
+    # matmul reduction tree and the scatter-add (measured ~8e-6 abs on
+    # ~110 unit-scale contributions/row).  A bf16-rounded transpose (the
+    # bug this guards against) errs at ~4e-3 relative — 3 orders larger.
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=3e-5, atol=3e-5)
