@@ -86,6 +86,14 @@ def _trunc_top8(v):
                                         jnp.float32)
 
 
+# The one-hot transpose materializes an [R_chunk, S] bf16 operand; cap it
+# at ~64 MB per chunk so full-resolution gradients (R ~ 1M rays) never hold
+# a ~1 GB one-hot per bounce residual (same memory-bounding spirit as
+# fast_grad._REMAT_BYTES).  Chunks accumulate in f32 — identical to the
+# unchunked matmul up to summation order.
+_ONEHOT_ELEMS = 32 * 1024 * 1024
+
+
 def _gather_rows_bwd(saved, g):
     idx, s_rows = saved
     # bf16 one-hot (exact 0/1) x 3 exact bf16 limbs of g: each product is
@@ -94,16 +102,29 @@ def _gather_rows_bwd(saved, g):
     # default precision would silently run as bf16 on TPU (rounding every
     # cotangent to ~8 mantissa bits), and Precision.HIGHEST costs 6
     # passes over the large one-hot operand.
-    onehot = (idx[:, None] == jnp.arange(s_rows, dtype=idx.dtype)[None, :]
-              ).astype(jnp.bfloat16)  # [R, S]
-    hi = _trunc_top8(g)
-    r1 = g - hi
-    mid = _trunc_top8(r1)
-    lo = r1 - mid
+    rows = jnp.arange(s_rows, dtype=idx.dtype)[None, :]
+    r_total = idx.shape[0]
+    r_chunk = max(_ONEHOT_ELEMS // max(s_rows, 1), 1)
+
+    def partial(idx_c, g_c):
+        onehot = (idx_c[:, None] == rows).astype(jnp.bfloat16)  # [Rc, S]
+        hi = _trunc_top8(g_c)
+        r1 = g_c - hi
+        mid = _trunc_top8(r1)
+        lo = r1 - mid
+        acc = None
+        for limb in (hi, mid, lo):
+            part = jnp.dot(onehot.T, limb.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+        return acc
+
+    if r_total <= r_chunk:
+        return (partial(idx, g), None)
     d_tbl = None
-    for limb in (hi, mid, lo):
-        part = jnp.dot(onehot.T, limb.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
+    for lo_r in range(0, r_total, r_chunk):
+        sl = slice(lo_r, min(lo_r + r_chunk, r_total))
+        part = partial(idx[sl], g[sl])
         d_tbl = part if d_tbl is None else d_tbl + part
     return (d_tbl, None)
 

@@ -64,10 +64,13 @@ class FrameWriter:
         ext = os.path.splitext(path)[1].lower()
         if ext not in _FMT:
             raise ValueError(f"unsupported image extension: {path}")
+        # Validate before the native/fallback branch: the thread-pool
+        # fallback would otherwise accept a malformed frame here and only
+        # surface the error later from the worker at wait().
+        rgb = np.ascontiguousarray(np.asarray(img), np.float32)
+        if rgb.ndim != 3 or rgb.shape[2] != 3:
+            raise ValueError(f"expected [H, W, 3] frame, got {rgb.shape}")
         if self._handle is not None:
-            rgb = np.ascontiguousarray(np.asarray(img), np.float32)
-            if rgb.ndim != 3 or rgb.shape[2] != 3:
-                raise ValueError(f"expected [H, W, 3] frame, got {rgb.shape}")
             h, w, _ = rgb.shape
             rc = self._lib.brt_writer_submit(
                 self._handle,
@@ -80,7 +83,7 @@ class FrameWriter:
             if rc != 0:
                 raise RuntimeError(f"brt_writer_submit failed ({rc})")
         else:
-            arr = np.array(np.asarray(img), np.float32, copy=True)
+            arr = np.array(rgb, np.float32, copy=True)
             self._futures.append(self._pool.submit(write_image, path, arr))
 
     def wait(self) -> None:

@@ -71,6 +71,7 @@ class Renderer:
             # of the reference reusing its buffers across frames
             # (`src/ray_trace_rays.rs:44-70`).
             self._perm = None
+            self._perm_pixels = None  # resolution the cached perm is for
             self._probe = jax.jit(
                 functools.partial(render_mxu_with_len, interpret=interpret),
                 static_argnums=2)
@@ -85,6 +86,11 @@ class Renderer:
             def step(scene, camera, config, frame):
                 import dataclasses
 
+                # A perm is only valid for the resolution it was probed
+                # at; a config change re-probes instead of erroring
+                # inside render_mxu_with_len (ADVICE r3).
+                if self._perm_pixels != config.num_pixels:
+                    self._perm = None
                 if self._perm is not None:
                     img, _ = self._permed(scene, camera, config, frame,
                                           perm=self._perm)
@@ -95,6 +101,7 @@ class Renderer:
                 probe_img, len_map = self._probe(scene, camera, probe_cfg,
                                                  frame)
                 self._perm = self._balance_perm(len_map)
+                self._perm_pixels = config.num_pixels
                 rest = config.samples_per_pixel - probe_spp
                 if rest == 0:
                     return probe_img
@@ -169,6 +176,7 @@ class Renderer:
             self._fns.clear()
         if hasattr(self, "_perm"):
             self._perm = None
+            self._perm_pixels = None
 
     def warmup(self, scene, camera):
         """Compile (the reference's Loading phase); returns compile seconds."""

@@ -104,6 +104,24 @@ def test_ray_chunking_is_exact():
     np.testing.assert_array_equal(full, chunked)
 
 
+def test_ray_chunk_nondividing_shard_rounds_down_with_warning():
+    """RenderConfig validates ray_chunk against the FULL image, but a
+    sharded caller hands render_pixel_range a slice; a slice size the
+    chunk does not divide must round DOWN to a divisor (bounding memory
+    as requested) and warn — not silently materialize the full
+    [rays, spheres] workspace (VERDICT r3 weak #6)."""
+    from bevy_raytrace_tpu.wavefront.render import render_pixel_range
+
+    scene, _ = baseline_config1_scene()
+    cam = baseline_config1_camera(CFG_TINY.aspect)
+    cfg = CFG_TINY.replace(ray_chunk=240)  # divides 960, not 320
+    full = _render(scene, cam, cfg)
+    with pytest.warns(UserWarning, match="largest divisor"):
+        part = render_pixel_range(scene, cam, cfg, 0, 320, 0)
+    np.testing.assert_array_equal(full.reshape(-1, 3)[:320],
+                                  np.asarray(part))
+
+
 def test_spp_chunking_matches():
     """Sample chunking changes only the f32 accumulation order."""
     scene, _ = baseline_config1_scene()
