@@ -224,8 +224,21 @@ def _zero_cotangent(x):
     return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
 
 
+def _permuted_table(scene, sphere_perm):
+    """sphere_table in the kernel's (possibly cluster-permuted) order."""
+    centers = scene.centers
+    radii = scene.radii
+    mat_id = scene.material_id
+    if sphere_perm is not None:
+        centers = centers[sphere_perm]
+        radii = radii[sphere_perm]
+        mat_id = mat_id[sphere_perm]
+    return sphere_table(centers, radii, scene.materials, mat_id)
+
+
 def make_fast_renderer(config: RenderConfig, tile_rows=None, unroll=None,
-                       clusters=None, interpret: bool = False, remat=None):
+                       clusters=None, interpret: bool = False, remat=None,
+                       backward: str = "kernel"):
     """A differentiable `render(scene, camera, frame) -> image` whose
     forward is the fused Pallas kernel and whose backward replays the
     recorded paths (no sphere sweep).
@@ -238,11 +251,20 @@ def make_fast_renderer(config: RenderConfig, tile_rows=None, unroll=None,
     legitimate straight-through estimates — see
     test_fast_grads_rtiow_bulk_agreement).
 
-    `remat`: None = checkpoint the replay's bounce scan only above a
-    memory threshold (storing is ~36% faster when it fits).
+    `backward`: "kernel" (default) runs the fused Pallas replay-gradient
+    kernel (`kernels/replay_grad.py` — forward replay AND cotangent
+    accumulation in one program, no HBM bounce state); "xla" replays in
+    differentiable jnp and lets `jax.vjp` transpose it (the oracle the
+    kernel is tested against).
+
+    `remat` (backward="xla" only): None = checkpoint the replay's bounce
+    scan only above a memory threshold (storing is ~36% faster when it
+    fits).
     """
     from bevy_raytrace_tpu.kernels.pallas_render import UNROLL, render_pallas
 
+    if backward not in ("kernel", "xla"):
+        raise ValueError(f"unknown backward {backward!r}")
     if unroll is None:
         unroll = UNROLL
     sphere_perm = None if clusters is None else clusters.perm
@@ -259,7 +281,7 @@ def make_fast_renderer(config: RenderConfig, tile_rows=None, unroll=None,
         img, res = fwd_kernel(scene, camera, config, frame)
         return img, (scene, camera, frame, res)
 
-    def bwd(saved, g):
+    def bwd_xla(saved, g):
         scene, camera, frame, res = saved
         _, vjp = jax.vjp(
             lambda sc, cam: replay_image(
@@ -268,5 +290,23 @@ def make_fast_renderer(config: RenderConfig, tile_rows=None, unroll=None,
         d_scene, d_camera = vjp(g)
         return d_scene, d_camera, _zero_cotangent(frame)
 
-    render_fast.defvjp(fwd, bwd)
+    def bwd_kernel(saved, g):
+        from bevy_raytrace_tpu.kernels.replay_grad import replay_grad
+
+        scene, camera, frame, res = saved
+        tbl, tbl_vjp = jax.vjp(
+            lambda sc: _permuted_table(sc, sphere_perm), scene)
+        d_tbl, d_cam = replay_grad(tbl, camera, config, res, g, frame,
+                                   interpret=interpret)
+        (d_scene,) = tbl_vjp(d_tbl)
+        d_camera = type(camera)(
+            origin=d_cam[0:3], u=d_cam[3:6], v=d_cam[6:9], w=d_cam[9:12],
+            half_width=d_cam[12].reshape(camera.half_width.shape),
+            half_height=d_cam[13].reshape(camera.half_height.shape),
+            lens_radius=d_cam[14].reshape(camera.lens_radius.shape),
+            focus_dist=d_cam[15].reshape(camera.focus_dist.shape),
+        )
+        return d_scene, d_camera, _zero_cotangent(frame)
+
+    render_fast.defvjp(fwd, bwd_kernel if backward == "kernel" else bwd_xla)
     return render_fast

@@ -56,6 +56,7 @@ wavefront (wavefront/render.py) with rematerialization.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -92,6 +93,13 @@ IDX_BITS = 10
 _IDX_MASK = np.int32((1 << IDX_BITS) - 1)
 _KEY_MASK = np.int32(~_IDX_MASK)
 _NO_HIT = np.int32(np.iinfo(np.int32).max)
+# Round-4 perf experiments (dev-only, timing probes; some variants are
+# intentionally WRONG images).  Set BRT_MXU_EXP before import:
+#   near_only  — drop the far-root selection from the sweep entirely
+#   near_rsqrt — near_only with sq = disc * rsqrt(disc)
+#   one_plane  — accumulate radiance into plane 0 only (vp overhead probe)
+#   rsqrt      — full sweep, sq = disc * rsqrt(disc)
+_EXP = os.environ.get("BRT_MXU_EXP", "")
 
 
 def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
@@ -271,6 +279,11 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                        for v in range(v_planes)]
 
             def plane_add(accs, cond, vals):
+                if _EXP == "one_plane" and v_planes > 1:
+                    # Timing probe: image is WRONG (all samples land in
+                    # plane 0) — measures the per-plane accumulation cost.
+                    accs[0] = accs[0] + jnp.where(cond, vals, 0.0)
+                    return
                 for v in range(v_planes):
                     cv = cond if pms[v] is None else (cond & pms[v])
                     accs[v] = accs[v] + jnp.where(cv, vals, 0.0)
@@ -307,7 +320,21 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                 """Dense (chunk, R) sweep -> packed nearest-hit keys."""
                 hb = ocx * dxr + ocy * dyr + ocz * dzr
                 cq = (ocx * ocx + ocy * ocy + ocz * ocz) - r2c
-                sq = jnp.sqrt(hb * hb - cq)  # NaN on miss
+                if _EXP in ("near_only", "near_rsqrt"):
+                    disc = hb * hb - cq
+                    if _EXP == "near_rsqrt":
+                        sq = disc * jax.lax.rsqrt(disc)
+                    else:
+                        sq = jnp.sqrt(disc)
+                    rn = -hb - sq
+                    bits = jax.lax.bitcast_convert_type(rn, jnp.int32)
+                    return jnp.where(rn > t_min,
+                                     (bits & _KEY_MASK) | idx, _NO_HIT)
+                if _EXP == "rsqrt":
+                    disc = hb * hb - cq
+                    sq = disc * jax.lax.rsqrt(disc)
+                else:
+                    sq = jnp.sqrt(hb * hb - cq)  # NaN on miss
                 rn = -hb - sq
                 rf = sq - hb
                 tn = jnp.where(rn > t_min, rn, rf)
