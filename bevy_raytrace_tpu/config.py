@@ -46,15 +46,16 @@ class RenderConfig:
       edge_softness: 0 disables (default).  > 0 enables straight-through
         soft-silhouette gradients for inverse rendering: pixel *values* are
         unchanged (hard visibility), but each hit contributes an extra
-        gradient term  d(sigmoid(margin/softness)) * (L_path - L_sky)
+        gradient term  d(sigmoid(margin/softness)) * (L_path - L_bg)
         approximating the visibility/boundary integral that plain autodiff
-        misses.  The term is ONE-SIDED (sky completion): quantified in
-        tests/test_silhouette.py — against the sky the gradient has the
-        right sign at ~0.3-1x magnitude; against an OCCLUDED object it
-        substitutes sky for the occluded radiance and can even flip sign
-        (measured: g_fd -0.43 vs g_ad +0.035 on an edge-over-sphere
-        fixture).  Use for sky-dominated recovery (the config-1/4 demos);
-        see inverse/ and SURVEY.md §7 "hard parts".
+        misses.  The term is TWO-SIDED (r4): L_bg is the runner-up hit's
+        one-bounce shade (albedo2 * sky) when the silhouette occludes
+        geometry, the sky otherwise.  Quantified in
+        tests/test_silhouette.py: right sign at ~0.3-1x magnitude against
+        BOTH sky and occluded backgrounds (the r3 one-sided sky-completion
+        form measurably flipped sign against occluders: g_fd -0.43 vs
+        g_ad +0.035 on the edge-over-sphere fixture; two-sided: -0.15).
+        See inverse/ and SURVEY.md §7 "hard parts".
     """
 
     width: int = 400

@@ -56,7 +56,7 @@ _UNIT_Z = np.array([0.0, 0.0, 1.0], np.float32)
 
 
 def replay_paths(camera, config: RenderConfig, pixel_ids, sample_ids,
-                 seed, res_db, tbl, remat: bool = True):
+                 seed, res_db, tbl, remat: bool = True, res2_db=None):
     """Differentiable re-trace of recorded paths -> radiance [K, 3].
 
     Scene cotangents flow exclusively through `tbl` (built by the
@@ -66,9 +66,17 @@ def replay_paths(camera, config: RenderConfig, pixel_ids, sample_ids,
     indices refer to rows of `tbl` (`core.geometry.sphere_table`, in the
     kernel's possibly cluster-permuted sphere order).  RNG counters are identical
     to the forward kernel's, so the replayed path IS the sampled path.
+
+    res2_db: runner-up sphere index per bounce (-1 = none), required when
+    config.edge_softness > 0 — the TWO-SIDED boundary term's background
+    estimate gathers the occluding edge's revealed surface from it.
     """
     t_min = np.float32(config.t_min)
     k = pixel_ids.shape[0]
+    if config.edge_softness > 0.0 and res2_db is None:
+        raise ValueError(
+            "edge_softness > 0 requires runner-up residuals (res2) — "
+            "record the forward with record_second=True")
     cu1, cu2, cu3, cu4 = uniform4(pixel_ids, sample_ids, CAMERA_STREAM, seed)
     x = (pixel_ids % config.width).astype(jnp.float32)
     y = (pixel_ids // config.width).astype(jnp.float32)
@@ -81,7 +89,10 @@ def replay_paths(camera, config: RenderConfig, pixel_ids, sample_ids,
     alive = jnp.ones((k,), bool)
 
     def body(carry, xs):
-        bounce_idx, sidx = xs
+        if res2_db is not None:
+            bounce_idx, sidx, sidx2 = xs
+        else:
+            bounce_idx, sidx = xs
         ray, throughput, radiance, alive = carry
         o, d = ray.origin, ray.dir
         hit = (sidx >= 0) & alive
@@ -135,18 +146,23 @@ def replay_paths(camera, config: RenderConfig, pixel_ids, sample_ids,
         scattered = alive & hit
         attenuation_eff = attenuation
         if config.edge_softness > 0.0:
-            # Same soft-silhouette straight-through as the XLA path
-            # (wavefront/render.py): value untouched, gradients gain the
-            # boundary term.  edge_m2 needs only the winner sphere.
+            # Same TWO-SIDED soft-silhouette straight-through as the XLA
+            # path (wavefront/render.py): value untouched, gradients gain
+            # the boundary term ds * (L_path - L_bg) with L_bg from the
+            # recorded runner-up hit (albedo2 * sky) or the sky itself.
             b_perp2 = oc2 - hb * hb
             r2 = jnp.maximum(r * r, 1e-12)
             edge_m2 = jnp.where(hit, 1.0 - b_perp2 / r2, 1.0)
             s_soft = jax.nn.sigmoid(edge_m2 / config.edge_softness)
             st = 1.0 + (s_soft - jax.lax.stop_gradient(s_soft))
             attenuation_eff = attenuation * st[:, None]
+            hit2 = sidx2 >= 0
+            g2 = jax.lax.stop_gradient(
+                gather_rows(tbl, jnp.maximum(sidx2, 0)))
+            sky_bg = jnp.where(hit2[:, None], g2[:, 4:7] * sky, sky)
             radiance = radiance + jnp.where(
-                scattered[:, None], (1.0 - st)[:, None] * throughput * sky,
-                0.0)
+                scattered[:, None],
+                (1.0 - st)[:, None] * throughput * sky_bg, 0.0)
         throughput = jnp.where(
             scattered[:, None], throughput * attenuation_eff, throughput)
         alive_next = scattered & scatter_ok
@@ -155,10 +171,13 @@ def replay_paths(camera, config: RenderConfig, pixel_ids, sample_ids,
                   dir=jnp.where(keep, new_dir, d))
         return (ray, throughput, radiance, alive_next), None
 
+    xs = (np.arange(config.max_depth, dtype=np.uint32), res_db)
+    if res2_db is not None:
+        xs = xs + (res2_db,)
     (_, _, radiance, _), _ = jax.lax.scan(
         jax.checkpoint(body) if remat else body,
         (ray, throughput, radiance, alive),
-        (np.arange(config.max_depth, dtype=np.uint32), res_db),
+        xs,
     )
     return radiance
 
@@ -171,14 +190,15 @@ _REMAT_BYTES = 4 << 30
 
 
 def replay_image(scene, camera, config: RenderConfig, res, frame=0,
-                 sphere_perm=None, remat=None):
+                 sphere_perm=None, remat=None, res2=None):
     """Differentiable image from recorded residuals -> [H, W, 3].
 
     res: int32 [spp, max_depth, P] with P >= num_pixels (lane padding is
     sliced off).  `sphere_perm` maps residual slot indices to scene rows
     when the forward ran cluster-permuted.  `remat`: None = checkpoint
     the bounce scan only when storing its state would exceed
-    _REMAT_BYTES; True/False forces.
+    _REMAT_BYTES; True/False forces.  `res2`: runner-up residuals,
+    required when config.edge_softness > 0 (two-sided boundary term).
     """
     num_pixels = config.num_pixels
     if remat is None:
@@ -201,17 +221,22 @@ def replay_image(scene, camera, config: RenderConfig, res, frame=0,
 
     pixel_ids = np.arange(num_pixels, dtype=np.uint32)
     res_p = res[:, :, :num_pixels]
+    xs = (np.arange(config.samples_per_pixel, dtype=np.uint32), res_p)
+    if res2 is not None:
+        xs = xs + (res2[:, :, :num_pixels],)
 
     def per_sample(fb_sum, xs):
-        s_id, res_s = xs
+        s_id, res_s = xs[0], xs[1]
+        res2_s = xs[2] if len(xs) > 2 else None
         rad = replay_paths(camera, config, pixel_ids,
-                           s_id, seed, res_s, tbl, remat=remat)
+                           s_id, seed, res_s, tbl, remat=remat,
+                           res2_db=res2_s)
         return fb_sum + rad, None
 
     fb, _ = jax.lax.scan(
         per_sample,
         jnp.zeros((num_pixels, 3), jnp.float32),
-        (np.arange(config.samples_per_pixel, dtype=np.uint32), res_p),
+        xs,
     )
     fb = fb / np.float32(config.samples_per_pixel)
     return fb.reshape(config.height, config.width, 3)
@@ -268,24 +293,28 @@ def make_fast_renderer(config: RenderConfig, tile_rows=None, unroll=None,
     if unroll is None:
         unroll = UNROLL
     sphere_perm = None if clusters is None else clusters.perm
+    record_second = config.edge_softness > 0.0
     fwd_kernel = functools.partial(
         render_pallas, tile_rows=tile_rows, unroll=unroll,
-        clusters=clusters, with_residuals=True, interpret=interpret)
+        clusters=clusters, with_residuals=True,
+        record_second=record_second, interpret=interpret)
 
     @jax.custom_vjp
     def render_fast(scene, camera, frame):
-        img, _ = fwd_kernel(scene, camera, config, frame)
+        img, *_ = fwd_kernel(scene, camera, config, frame)
         return img
 
     def fwd(scene, camera, frame):
-        img, res = fwd_kernel(scene, camera, config, frame)
-        return img, (scene, camera, frame, res)
+        img, res, *rest = fwd_kernel(scene, camera, config, frame)
+        res2 = rest[0] if rest else None
+        return img, (scene, camera, frame, res, res2)
 
     def bwd_xla(saved, g):
-        scene, camera, frame, res = saved
+        scene, camera, frame, res, res2 = saved
         _, vjp = jax.vjp(
             lambda sc, cam: replay_image(
-                sc, cam, config, res, frame, sphere_perm, remat=remat),
+                sc, cam, config, res, frame, sphere_perm, remat=remat,
+                res2=res2),
             scene, camera)
         d_scene, d_camera = vjp(g)
         return d_scene, d_camera, _zero_cotangent(frame)
@@ -293,11 +322,11 @@ def make_fast_renderer(config: RenderConfig, tile_rows=None, unroll=None,
     def bwd_kernel(saved, g):
         from bevy_raytrace_tpu.kernels.replay_grad import replay_grad
 
-        scene, camera, frame, res = saved
+        scene, camera, frame, res, res2 = saved
         tbl, tbl_vjp = jax.vjp(
             lambda sc: _permuted_table(sc, sphere_perm), scene)
         d_tbl, d_cam = replay_grad(tbl, camera, config, res, g, frame,
-                                   interpret=interpret)
+                                   interpret=interpret, res2=res2)
         (d_scene,) = tbl_vjp(d_tbl)
         d_camera = type(camera)(
             origin=d_cam[0:3], u=d_cam[3:6], v=d_cam[6:9], w=d_cam[9:12],

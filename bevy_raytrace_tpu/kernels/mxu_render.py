@@ -56,7 +56,6 @@ wavefront (wavefront/render.py) with rematerialization.
 from __future__ import annotations
 
 import functools
-import os
 
 import numpy as np
 import jax
@@ -93,13 +92,6 @@ IDX_BITS = 10
 _IDX_MASK = np.int32((1 << IDX_BITS) - 1)
 _KEY_MASK = np.int32(~_IDX_MASK)
 _NO_HIT = np.int32(np.iinfo(np.int32).max)
-# Round-4 perf experiments (dev-only, timing probes; some variants are
-# intentionally WRONG images).  Set BRT_MXU_EXP before import:
-#   near_only  — drop the far-root selection from the sweep entirely
-#   near_rsqrt — near_only with sq = disc * rsqrt(disc)
-#   one_plane  — accumulate radiance into plane 0 only (vp overhead probe)
-#   rsqrt      — full sweep, sq = disc * rsqrt(disc)
-_EXP = os.environ.get("BRT_MXU_EXP", "")
 
 
 def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
@@ -213,13 +205,20 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
             rad_gs = list(acc[v_planes:2 * v_planes])
             rad_bs = list(acc[2 * v_planes:3 * v_planes])
             lens = list(acc[3 * v_planes:4 * v_planes])
+            # Culled traversal: 4 extra planes cache the lane's LAST
+            # winner sphere (center, r^2) — one extra test next round
+            # seeds a per-lane nearest-t upper bound for phase A
+            # (VERDICT r3 lever b).  pw[3] = -1 marks "no cached winner"
+            # (the r^2 = -1 dud convention: NaN sqrt, never a bound).
+            pw = list(acc[4 * v_planes:4 * v_planes + 4]) if culled else []
             rad_r, rad_g, rad_b = rad_rs[0], rad_gs[0], rad_bs[0]
             len_acc = lens[0]
 
             def repack(alive, sample, bounce, ox, oy, oz, dx, dy, dz,
                        tp_r, tp_g, tp_b):
                 return (alive, sample, bounce, ox, oy, oz, dx, dy, dz,
-                        tp_r, tp_g, tp_b, *rad_rs, *rad_gs, *rad_bs, *lens)
+                        tp_r, tp_g, tp_b, *rad_rs, *rad_gs, *rad_bs,
+                        *lens, *pw)
 
             if debug_expr and debug_expr.startswith('loop_only'):
                 # Timing probe: pure loop scaffolding + state I/O.
@@ -279,11 +278,6 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                        for v in range(v_planes)]
 
             def plane_add(accs, cond, vals):
-                if _EXP == "one_plane" and v_planes > 1:
-                    # Timing probe: image is WRONG (all samples land in
-                    # plane 0) — measures the per-plane accumulation cost.
-                    accs[0] = accs[0] + jnp.where(cond, vals, 0.0)
-                    return
                 for v in range(v_planes):
                     cv = cond if pms[v] is None else (cond & pms[v])
                     accs[v] = accs[v] + jnp.where(cv, vals, 0.0)
@@ -320,21 +314,17 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                 """Dense (chunk, R) sweep -> packed nearest-hit keys."""
                 hb = ocx * dxr + ocy * dyr + ocz * dzr
                 cq = (ocx * ocx + ocy * ocy + ocz * ocz) - r2c
-                if _EXP in ("near_only", "near_rsqrt"):
-                    disc = hb * hb - cq
-                    if _EXP == "near_rsqrt":
-                        sq = disc * jax.lax.rsqrt(disc)
-                    else:
-                        sq = jnp.sqrt(disc)
-                    rn = -hb - sq
-                    bits = jax.lax.bitcast_convert_type(rn, jnp.int32)
-                    return jnp.where(rn > t_min,
-                                     (bits & _KEY_MASK) | idx, _NO_HIT)
-                if _EXP == "rsqrt":
-                    disc = hb * hb - cq
-                    sq = disc * jax.lax.rsqrt(disc)
-                else:
-                    sq = jnp.sqrt(hb * hb - cq)  # NaN on miss
+                disc = hb * hb - cq
+                # sqrt as disc * rsqrt(disc): measured 4-5% faster on v5e
+                # (r4 pinned-round probe: sweep 4.21 -> 3.99 us/round;
+                # plain op-count cuts — dropping the far root + select —
+                # measured NULL, so the sweep is sqrt-latency-sensitive,
+                # not issue-count-bound).  Differences vs sqrt are <= 2
+                # ulp on the 13-bit packed key (the winner's t is
+                # recomputed exactly afterwards); disc == 0 maps to
+                # 0 * inf = NaN -> miss, a measure-zero true-tangency.
+                # NaN on miss (disc < 0) as before.
+                sq = disc * jax.lax.rsqrt(disc)
                 rn = -hb - sq
                 rf = sq - hb
                 tn = jnp.where(rn > t_min, rn, rf)
@@ -386,6 +376,23 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                     ptn = jnp.where(prn > t_min, prn, prf)
                     closer = (ptn > t_min) & (ptn < t_ub)  # NaN -> False
                     t_ub = jnp.where(closer, ptn, t_ub)
+
+                # Per-lane previous-winner bound: test the lane's cached
+                # last winner sphere (ONE extra test).  For a refilled
+                # lane this is usually the same sphere its pixel's
+                # previous sample hit — a tight camera-ray bound the
+                # static priority set cannot provide.
+                qocx = ox - pw[0]
+                qocy = oy - pw[1]
+                qocz = oz - pw[2]
+                qhb = qocx * dx + qocy * dy + qocz * dz
+                qcq = (qocx * qocx + qocy * qocy + qocz * qocz) - pw[3]
+                qsq = jnp.sqrt(qhb * qhb - qcq)  # NaN on miss / no cache
+                qrn = -qhb - qsq
+                qrf = qsq - qhb
+                qtn = jnp.where(qrn > t_min, qrn, qrf)
+                qcloser = (qtn > t_min) & (qtn < t_ub)  # NaN -> False
+                t_ub = jnp.where(qcloser, qtn, t_ub)
 
                 # ---- phase A: ray-vs-chunk-bound tests (alive lanes) ----
                 # A chunk is live only if its bound's intersection interval
@@ -602,6 +609,13 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
             plane_add(rad_bs, add, tp_b)
 
             scat = alive & hit
+            if culled:
+                # Cache this round's winner geometry for the next round's
+                # per-lane t_ub seed (phase A early termination).
+                pw[0] = jnp.where(scat, bcx, pw[0])
+                pw[1] = jnp.where(scat, bcy, pw[1])
+                pw[2] = jnp.where(scat, bcz, pw[2])
+                pw[3] = jnp.where(scat, br2, pw[3])
             tp_r = jnp.where(scat, tp_r * at_r, tp_r)
             tp_g = jnp.where(scat, tp_g * at_g, tp_g)
             tp_b = jnp.where(scat, tp_b * at_b, tp_b)
@@ -658,6 +672,9 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
         init = (false_v, zero, zero,
                 zero, zero, zero, zero, zero, one,
                 one, one, one) + (zero,) * (4 * v_planes)
+        if culled:
+            # Previous-winner cache: no winner yet (r^2 = -1 dud).
+            init = init + (zero, zero, zero, zero - 1.0)
         for r, v in zip(state_refs, init[1:]):
             r[:] = v
         alive_ref[:] = zero
@@ -938,8 +955,9 @@ def render_mxu_lanes(
     # alive + 11 + 4*v_planes per-lane state planes (see _make_kernel:
     # scf.while cannot carry vectors, so the round loop's state lives
     # here).
+    n_state = 12 + 4 * v_planes + (4 if plan is not None else 0)
     scratch_shapes = [pltpu.VMEM((tile_rows, 128), jnp.float32)
-                      for _ in range(12 + 4 * v_planes)]
+                      for _ in range(n_state)]
     if plan is not None:
         scratch_shapes += [pltpu.SMEM((n_cull,), jnp.int32),
                            pltpu.SMEM((1,), jnp.int32)]

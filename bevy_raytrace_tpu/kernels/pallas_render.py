@@ -129,9 +129,12 @@ def _make_kernel(
     n_clusters: int = 0,
     cluster_size: int = 0,
     with_residuals: bool = False,
+    record_second: bool = False,
 ):
     if with_residuals and skip_dead:
         raise ValueError("with_residuals requires the plain schedule")
+    if record_second and not with_residuals:
+        raise ValueError("record_second requires with_residuals")
     width = np.float32(config.width)
     height = np.float32(config.height)
     t_min = np.float32(config.t_min)
@@ -152,16 +155,20 @@ def _make_kernel(
         n_words = -(-n_clusters // bits_per_word)
 
     def kernel(geom_ref, mat_ref, cam_ref, seed_ref, *rest):
-        res_ref = None
+        res_ref = res2_ref = None
         if clustered:
             cb_ref, fb_r, fb_g, fb_b, *scratch = rest
             if with_residuals:
                 res_ref, *scratch = scratch
+            if record_second:
+                res2_ref, *scratch = scratch
             *scratch, list_ref, count_ref = scratch
         else:
             fb_r, fb_g, fb_b, *scratch = rest
             if with_residuals:
                 res_ref, *scratch = scratch
+            if record_second:
+                res2_ref, *scratch = scratch
         tile = pl.program_id(0)
         s = pl.program_id(1)
         sample = s.astype(jnp.uint32)
@@ -223,8 +230,14 @@ def _make_kernel(
             o2 = ox * ox + oy * oy + oz * oz
 
             def one_sphere(n, carry):
-                (bt, bcx, bcy, bcz, binv,
-                 bar, bag, bab, bkd, bfz, bio, bidx) = carry
+                if record_second:
+                    (bt, bcx, bcy, bcz, binv,
+                     bar, bag, bab, bkd, bfz, bio, bidx,
+                     bt2, bidx2) = carry
+                else:
+                    (bt, bcx, bcy, bcz, binv,
+                     bar, bag, bab, bkd, bfz, bio, bidx) = carry
+                    bt2 = bidx2 = None
                 cx = geom_ref[0, n]
                 cy = geom_ref[1, n]
                 cz = geom_ref[2, n]
@@ -244,6 +257,18 @@ def _make_kernel(
                 # reference's two-interval check, intersect.wgsl:108-121).
                 tn = jnp.where(rn > t_min, rn, rf)
                 better = (tn > t_min) & (tn < bt)
+                if record_second:
+                    # Runner-up (nearest hit excluding the winner), for
+                    # the two-sided silhouette background.  `tn != bt`
+                    # excludes EXACT ties so a cluster pad slot (a
+                    # duplicate of a real sphere) can never become its
+                    # own twin's "background".
+                    nf2 = jnp.asarray(n, jnp.int32).astype(jnp.float32)
+                    sec = ((tn > t_min) & ~better & (tn < bt2)
+                           & (tn != bt))
+                    bt2 = jnp.where(better, bt, jnp.where(sec, tn, bt2))
+                    bidx2 = jnp.where(better, bidx,
+                                      jnp.where(sec, nf2, bidx2))
                 bt = jnp.where(better, tn, bt)
                 bcx = jnp.where(better, cx, bcx)
                 bcy = jnp.where(better, cy, bcy)
@@ -259,8 +284,11 @@ def _make_kernel(
                     # Winner index as f32 (exact below 2^24); -1 = miss.
                     nf = jnp.asarray(n, jnp.int32).astype(jnp.float32)
                     bidx = jnp.where(better, nf, bidx)
-                return (bt, bcx, bcy, bcz, binv, bar, bag, bab, bkd, bfz,
-                        bio, bidx)
+                out = (bt, bcx, bcy, bcz, binv, bar, bag, bab, bkd, bfz,
+                       bio, bidx)
+                if record_second:
+                    out = out + (bt2, bidx2)
+                return out
 
             def sphere_block(i, carry):
                 base = i * unroll
@@ -274,9 +302,13 @@ def _make_kernel(
                 zero, zero, zero, zero, zero, one,
                 zero - 1.0,
             )
+            if record_second:
+                init = init + (jnp.full(shape, t_max, jnp.float32),
+                               zero - 1.0)
+            bt2 = bidx2 = None
             if not clustered:
                 (bt, bcx, bcy, bcz, binv, bar, bag, bab, bkd, bfz, bio,
-                 bidx) = (
+                 bidx, *second) = (
                     jax.lax.fori_loop(0, n_iters, sphere_block, init)
                 )
             else:
@@ -346,7 +378,7 @@ def _make_kernel(
                     return carry
 
                 (bt, bcx, bcy, bcz, binv, bar, bag, bab, bkd, bfz, bio,
-                 bidx) = (
+                 bidx, *second) = (
                     jax.lax.fori_loop(
                         0,
                         count_ref[0] * blocks_per_cluster,
@@ -364,6 +396,12 @@ def _make_kernel(
                 rec = jnp.where(hit & alive, bidx, -1.0).astype(jnp.int32)
                 r0 = bounce_static * tile_rows
                 res_ref[0, r0:r0 + tile_rows, :] = rec
+            if record_second:
+                bt2, bidx2 = second
+                hit2 = bt2 < t_max
+                rec2 = jnp.where(hit & hit2 & alive, bidx2,
+                                 -1.0).astype(jnp.int32)
+                res2_ref[0, r0:r0 + tile_rows, :] = rec2
             t_safe = jnp.where(hit, bt, 0.0)
             hx = ox + t_safe * dx
             hy = oy + t_safe * dy
@@ -543,6 +581,7 @@ def render_pallas(
     skip_dead_tiles: bool = SKIP_DEAD_TILES,
     clusters=None,
     with_residuals: bool = False,
+    record_second: bool = False,
 ):
     """Drop-in replacement for wavefront.render on the forward path.
 
@@ -552,6 +591,11 @@ def render_pallas(
     backward pass without re-running the sphere sweep.  Indices refer to
     the kernel's (possibly cluster-permuted) sphere order; pass the same
     `clusters` plan to the replay.
+
+    `record_second=True` (requires with_residuals) appends a third
+    output `res2` of the same shape: the runner-up sphere index (-1 when
+    there is no second hit), consumed by the TWO-SIDED soft-silhouette
+    boundary term in the replay (wavefront/render.py's L_bg analog).
 
     Returns linear float32 [H, W, 3]; agrees with the XLA path to f32
     tolerance (identical RNG counters, same math, different transcendental
@@ -649,6 +693,7 @@ def render_pallas(
         n_clusters=0 if clusters is None else clusters.n_clusters,
         cluster_size=0 if clusters is None else clusters.cluster_size,
         with_residuals=with_residuals,
+        record_second=record_second,
     )
     out_shape = jax.ShapeDtypeStruct((p_pad // 128, 128), jnp.float32)
     fb_spec = pl.BlockSpec(
@@ -666,12 +711,17 @@ def render_pallas(
     out_shapes = [out_shape, out_shape, out_shape]
     depth = config.max_depth
     if with_residuals:
-        out_specs.append(pl.BlockSpec(
+        res_spec = pl.BlockSpec(
             (1, depth * tile_rows, 128), lambda t, s: (s, t, 0),
-            memory_space=pltpu.VMEM))
-        out_shapes.append(jax.ShapeDtypeStruct(
+            memory_space=pltpu.VMEM)
+        res_shape = jax.ShapeDtypeStruct(
             (config.samples_per_pixel, depth * (p_pad // 128), 128),
-            jnp.int32))
+            jnp.int32)
+        out_specs.append(res_spec)
+        out_shapes.append(res_shape)
+        if record_second:
+            out_specs.append(res_spec)
+            out_shapes.append(res_shape)
 
     scratch_shapes = []
     if skip_dead_tiles:
@@ -702,10 +752,15 @@ def render_pallas(
     img = fb.reshape(config.height, config.width, 3)
     if not with_residuals:
         return img
-    # res blocks are (s, tile) of (depth, tile_rows, 128): regroup the
-    # row axis (n_tiles, depth, tile_rows) -> [spp, depth, p_pad].
-    res = outs[3].reshape(
-        config.samples_per_pixel, n_tiles, depth, tile_rows * 128)
-    res = jnp.swapaxes(res, 1, 2).reshape(
-        config.samples_per_pixel, depth, p_pad)
-    return img, res
+
+    def regroup(raw):
+        # res blocks are (s, tile) of (depth, tile_rows, 128): regroup
+        # the row axis (n_tiles, depth, tile_rows) -> [spp, depth, p_pad].
+        r = raw.reshape(
+            config.samples_per_pixel, n_tiles, depth, tile_rows * 128)
+        return jnp.swapaxes(r, 1, 2).reshape(
+            config.samples_per_pixel, depth, p_pad)
+
+    if not record_second:
+        return img, regroup(outs[3])
+    return img, regroup(outs[3]), regroup(outs[4])

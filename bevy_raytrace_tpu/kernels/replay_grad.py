@@ -93,12 +93,15 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
     t_min = np.float32(config.t_min)
     depth = config.max_depth
     edge_soft = np.float32(config.edge_softness)
+    with_second = config.edge_softness > 0.0
     inv_spp = np.float32(1.0 / config.samples_per_pixel)
     shape = (tile_rows, 128)
     r_lanes = tile_rows * 128
 
-    def kernel(limb_ref, cam_ref, seed_ref, res_ref, g_r_ref, g_g_ref,
-               g_b_ref, d_attr_ref, d_cam_ref):
+    def kernel(limb_ref, cam_ref, seed_ref, res_ref, *rest):
+        if with_second:
+            res2_ref, *rest = rest
+        (g_r_ref, g_g_ref, g_b_ref, d_attr_ref, d_cam_ref) = rest
         tile = pl.program_id(0)
         s = pl.program_id(1)
         sample = s.astype(jnp.uint32) + np.uint32(sample_base)
@@ -121,22 +124,35 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
         # itself (one bf16 MXU pass per limb triple, exact by the 0/1
         # one-hot argument) is not part of the AD graph.
         sidx = jax.lax.broadcasted_iota(jnp.int32, (s_pad, r_lanes), 0)
-        onehots = []
-        hits = []
-        attrs = []
-        for b in range(depth):
-            rec = res_ref[0, b * tile_rows:(b + 1) * tile_rows, :]
-            hits.append(rec >= 0)
+
+        def gather(rec):
             widx = flat(jnp.maximum(rec, 0))
             onehot = jnp.where(sidx == widx, 1.0, 0.0
                                ).astype(jnp.bfloat16)  # (S, R)
-            onehots.append(onehot)
             g3 = jnp.dot(limb_ref[:], onehot,
                          preferred_element_type=jnp.float32)  # (48, R)
             g16 = g3[0:TABLE_ROWS] + g3[TABLE_ROWS:2 * TABLE_ROWS] \
                 + g3[2 * TABLE_ROWS:3 * TABLE_ROWS]
-            attrs.append(tuple(g16[c].reshape(shape)
-                               for c in range(_N_ATTR)))
+            return onehot, tuple(g16[c].reshape(shape)
+                                 for c in range(_N_ATTR))
+
+        onehots = []
+        hits = []
+        attrs = []
+        bg = []  # (hit2, albedo2) per bounce — two-sided boundary term
+        for b in range(depth):
+            rec = res_ref[0, b * tile_rows:(b + 1) * tile_rows, :]
+            hits.append(rec >= 0)
+            onehot, g16 = gather(rec)
+            onehots.append(onehot)
+            attrs.append(g16)
+            if with_second:
+                # Runner-up gather; constants w.r.t. the VJP (the oracle
+                # stop_gradients albedo2 — only visibility drives the
+                # boundary term, not the revealed surface's shading).
+                rec2 = res2_ref[0, b * tile_rows:(b + 1) * tile_rows, :]
+                _, g16b = gather(rec2)
+                bg.append((rec2 >= 0, g16b[4], g16b[5], g16b[6]))
 
         # ---- RNG draws (constants w.r.t. every primal) -----------------
         ca, cb, cc, cd = _pcg4d(pid, sample, np.uint32(CAMERA_STREAM), seed)
@@ -279,8 +295,10 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
             scattered = alive & hit
             at_eff_r, at_eff_g, at_eff_b = at_r, at_g, at_b
             if edge_soft > 0.0:
-                # Straight-through soft silhouette (value-neutral, grads
-                # gain the boundary term) — fast_grad.py::replay_paths.
+                # TWO-SIDED straight-through soft silhouette (value-
+                # neutral, grads gain ds * (L_path - L_bg)) — lockstep
+                # with fast_grad.py::replay_paths.
+                hit2, a2r, a2g, a2b = bg[b]
                 b_perp2 = oc2 - hb * hb
                 r2m = jnp.maximum(br * br, 1e-12)
                 edge_m2 = jnp.where(hit, 1.0 - b_perp2 / r2m, 1.0)
@@ -290,9 +308,12 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                 at_eff_g = at_g * st
                 at_eff_b = at_b * st
                 omt = 1.0 - st
-                rad_r = rad_r + jnp.where(scattered, omt * tp_r * sk_r, 0.0)
-                rad_g = rad_g + jnp.where(scattered, omt * tp_g * sk_g, 0.0)
-                rad_b = rad_b + jnp.where(scattered, omt * tp_b, 0.0)
+                bg_r = jnp.where(hit2, a2r * sk_r, sk_r)
+                bg_g = jnp.where(hit2, a2g * sk_g, sk_g)
+                bg_b = jnp.where(hit2, a2b, 1.0)
+                rad_r = rad_r + jnp.where(scattered, omt * tp_r * bg_r, 0.0)
+                rad_g = rad_g + jnp.where(scattered, omt * tp_g * bg_g, 0.0)
+                rad_b = rad_b + jnp.where(scattered, omt * tp_b * bg_b, 0.0)
 
             tp_r = jnp.where(scattered, tp_r * at_eff_r, tp_r)
             tp_g = jnp.where(scattered, tp_g * at_eff_g, tp_g)
@@ -307,6 +328,30 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
             return (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
                     rad_r, rad_g, rad_b, alive_next)
 
+        def ckpt(f):
+            """Per-bounce rematerialization via custom_vjp.
+
+            `jax.checkpoint` leaves a remat2 primitive that Mosaic cannot
+            lower inside a Pallas kernel; this expands to plain ops at
+            trace time with the same effect — the backward re-derives
+            each round's internals from the bounce-boundary carry instead
+            of keeping ~40 planes per bounce live across the kernel."""
+
+            @jax.custom_vjp
+            def wrapped(carry, g):
+                return f(carry, g)
+
+            def fwd(carry, g):
+                return f(carry, g), (carry, g)
+
+            def bwd(saved, ct):
+                carry, g = saved
+                _, vjp = jax.vjp(f, carry, g)
+                return vjp(ct)
+
+            wrapped.defvjp(fwd, bwd)
+            return wrapped
+
         def trace(cam, gs):
             ox, oy, oz, dx, dy, dz = generate(cam)
             one = jnp.ones(shape, jnp.float32)
@@ -314,11 +359,7 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
             carry = (ox, oy, oz, dx, dy, dz, one, one, one,
                      zero, zero, zero, jnp.ones(shape, bool))
             for b in range(depth):
-                # Per-bounce remat: the backward re-derives each round's
-                # internals from the (o, d, tp) boundary instead of
-                # keeping ~40 planes per bounce live across the kernel.
-                carry = jax.checkpoint(
-                    functools.partial(bounce, b))(carry, gs[b])
+                carry = ckpt(functools.partial(bounce, b))(carry, gs[b])
             return carry[9], carry[10], carry[11]
 
         cam = tuple(cam_ref[i] for i in range(16))
@@ -364,7 +405,7 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
 
 def replay_grad(table, camera, config: RenderConfig, res, g, frame=0,
                 interpret: bool = False, tile_rows: int = TILE_ROWS,
-                sample_base: int = 0):
+                sample_base: int = 0, res2=None):
     """Cotangents of the recorded render w.r.t. the sphere table + camera.
 
     Args:
@@ -415,17 +456,26 @@ def replay_grad(table, camera, config: RenderConfig, res, g, frame=0,
             else frame.astype(jnp.uint32))
     seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1)
 
-    # Residuals [spp, depth, P] -> the forward kernel's raw row layout
-    # (tile-major, bounce within tile): [spp, n_tiles*depth*tile_rows, 128].
-    res_p = res[:, :, :num_pixels]
-    if p_pad != num_pixels:
-        res_p = jnp.concatenate([
-            res_p,
-            jnp.full((spp, depth, p_pad - num_pixels), -1, jnp.int32),
-        ], axis=2)
-    res_raw = res_p.reshape(spp, depth, n_tiles, tile_rows, 128)
-    res_raw = jnp.swapaxes(res_raw, 1, 2).reshape(
-        spp, n_tiles * depth * tile_rows, 128)
+    if config.edge_softness > 0.0 and res2 is None:
+        raise ValueError(
+            "edge_softness > 0 requires runner-up residuals (res2) — "
+            "record the forward with record_second=True")
+
+    def to_raw(r):
+        # Residuals [spp, depth, P] -> the forward kernel's raw row
+        # layout (tile-major, bounce within tile):
+        # [spp, n_tiles*depth*tile_rows, 128].
+        rp = r[:, :, :num_pixels]
+        if p_pad != num_pixels:
+            rp = jnp.concatenate([
+                rp,
+                jnp.full((spp, depth, p_pad - num_pixels), -1, jnp.int32),
+            ], axis=2)
+        raw = rp.reshape(spp, depth, n_tiles, tile_rows, 128)
+        return jnp.swapaxes(raw, 1, 2).reshape(
+            spp, n_tiles * depth * tile_rows, 128)
+
+    res_raw = to_raw(res)
 
     gf = g.reshape(num_pixels, 3).astype(jnp.float32)
     if p_pad != num_pixels:
@@ -440,16 +490,22 @@ def replay_grad(table, camera, config: RenderConfig, res, g, frame=0,
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     g_spec = pl.BlockSpec((tile_rows, 128), lambda t, s: (t, 0),
                           memory_space=pltpu.VMEM)
+    res_spec = pl.BlockSpec((1, depth * tile_rows, 128),
+                            lambda t, s: (s, t, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [vmem(), smem(), smem(), res_spec]
+    inputs = [limbs, cam, seed_arr, res_raw]
+    if config.edge_softness > 0.0:
+        in_specs.append(res_spec)
+        inputs.append(to_raw(res2))
+    in_specs += [g_spec, g_spec, g_spec]
+    inputs += [g_r, g_g, g_b]
 
     d_attr, d_cam = pl.pallas_call(
         kernel,
         grid=(n_tiles, spp),
-        in_specs=[
-            vmem(), smem(), smem(),
-            pl.BlockSpec((1, depth * tile_rows, 128),
-                         lambda t, s: (s, t, 0), memory_space=pltpu.VMEM),
-            g_spec, g_spec, g_spec,
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((TABLE_ROWS, s_pad), lambda t, s: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -460,6 +516,6 @@ def replay_grad(table, camera, config: RenderConfig, res, g, frame=0,
             jax.ShapeDtypeStruct((16,), jnp.float32),
         ),
         interpret=interpret,
-    )(limbs, cam, seed_arr, res_raw, g_r, g_g, g_b)
+    )(*inputs)
 
     return d_attr[:_N_ATTR, :s_real].T, d_cam

@@ -63,10 +63,14 @@ def _bounce_step(scene: Scene, config: RenderConfig, pixel_ids, sample_ids, seed
     table = sphere_table(scene.centers, scene.radii, scene.materials,
                          scene.material_id)
 
+    with_second = config.edge_softness > 0.0
+
     def body(carry, bounce_idx):
         ray, throughput, radiance, alive = carry
-        hit, albedo, kind, fuzz, ior = intersect_scene_fused(
-            ray, scene, config.t_min, config.t_max, table)
+        out = intersect_scene_fused(
+            ray, scene, config.t_min, config.t_max, table,
+            with_second=with_second)
+        hit, albedo, kind, fuzz, ior = out[:5]
         u = uniform4(pixel_ids, sample_ids, bounce_idx, seed)
         new_dir, attenuation, scatter_ok = scatter(
             ray.dir, hit.normal, hit.front_face, albedo, kind, fuzz, ior, u
@@ -83,12 +87,21 @@ def _bounce_step(scene: Scene, config: RenderConfig, pixel_ids, sample_ids, seed
             # Straight-through soft silhouettes: st == 1.0 exactly in value
             # (s - stop_grad(s) is exactly 0), so the image is bit-identical
             # to the hard render; only gradients gain the boundary term
-            # ds * (L_path - L_sky).  See RenderConfig.edge_softness.
+            # ds * (L_path - L_bg).  TWO-SIDED (VERDICT r3 item 3): L_bg is
+            # the radiance estimate BEHIND the edge — the runner-up hit's
+            # one-bounce shade (albedo2 * sky) when the edge occludes
+            # geometry, the sky itself otherwise.  The one-sided
+            # sky-completion form measurably flipped the gradient sign
+            # against occluders (tests/test_silhouette.py history).
+            hit2, albedo2, _ = out[5]
             s_soft = jax.nn.sigmoid(hit.edge_m2 / config.edge_softness)
             st = 1.0 + (s_soft - jax.lax.stop_gradient(s_soft))
             attenuation_eff = attenuation * st[:, None]
+            sky_bg = jnp.where(hit2[:, None],
+                               jax.lax.stop_gradient(albedo2) * sky, sky)
             radiance = radiance + jnp.where(
-                scattered[:, None], (1.0 - st)[:, None] * throughput * sky, 0.0
+                scattered[:, None],
+                (1.0 - st)[:, None] * throughput * sky_bg, 0.0
             )
         throughput = jnp.where(
             scattered[:, None], throughput * attenuation_eff, throughput

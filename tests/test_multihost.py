@@ -52,3 +52,8 @@ def test_two_process_distributed_render_bitexact():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert "OK bit-exact" in out, f"proc {pid} output:\n{out}"
+        # VERDICT r3 item 6: the collective audit must hold on the REAL
+        # 2-process mesh too — zero forward collectives, KB-scale
+        # backward all-reduce.
+        assert "AUDIT ok fwd_collectives=0" in out, (
+            f"proc {pid} output:\n{out}")

@@ -60,6 +60,23 @@ def test_mxu_matches_xla_defocus_scene():
     _compare(scene, rtiow_final_camera(cfg.aspect), cfg)
 
 
+def test_mxu_culled_bit_identical_to_dense():
+    """Chunk-culled traversal (phase-A bounds + per-lane t_ub from the
+    static priority set AND the cached previous-round winner) must be
+    bit-identical to the dense sweep: every bound is conservative and
+    duplicate pad spheres lose min ties."""
+    from bevy_raytrace_tpu.kernels.clusters import cluster_scene
+
+    cfg = RenderConfig(width=64, height=32, samples_per_pixel=2, max_depth=4)
+    scene, _ = rtiow_final_scene(seed=3, grid=3)
+    cam = rtiow_final_camera(cfg.aspect)
+    dense = np.asarray(render_mxu(scene, cam, cfg, interpret=True))
+    plan = cluster_scene(scene, cluster_size=8)
+    culled = np.asarray(render_mxu(scene, cam, cfg, interpret=True,
+                                   plan=plan))
+    np.testing.assert_array_equal(dense, culled)
+
+
 def test_mxu_nonaligned_resolution():
     """Width*height not a multiple of the 1024-lane tile: padding lanes
     must not corrupt real pixels."""

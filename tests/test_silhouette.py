@@ -1,26 +1,21 @@
 """Silhouette (visibility) gradient quality: measured bounds.
 
-`RenderConfig.edge_softness > 0` adds a one-sided straight-through
+`RenderConfig.edge_softness > 0` adds a TWO-SIDED straight-through
 boundary term at the hit sphere's silhouette (wavefront/render.py): the
-soft visibility blends the surface radiance with SKY.  That models edges
-against the sky correctly, but against an occluded object the true
-background radiance is the occluded object, not sky — so the term's
-magnitude (and even sign, when the occluder is darker than sky) can be
-wrong there (VERDICT r2 item 7).
+soft visibility blends the surface radiance with a background estimate —
+the runner-up hit's one-bounce shade (albedo2 * sky) when the edge
+occludes geometry, the sky itself otherwise (the r3 one-sided
+sky-completion form measurably flipped the gradient sign against
+occluders; see test_silhouette_gradient_against_occluder's history).
 
-These tests QUANTIFY that envelope against central finite differences of
+These tests QUANTIFY the envelope against central finite differences of
 the hard (edge_softness=0) render — the ground truth, since the RNG is
 counter-based and both FD evaluations replay identical sample decisions:
 
   * sky-background edge: sign correct, magnitude within ~3x
     (measured on this fixture: g_fd ~ -0.027, g_ad ~ -0.0093);
-  * occluded edge: the boundary term is NOT trusted — measured here the
-    one-sided term gives the wrong sign (g_fd ~ -0.43, g_ad ~ +0.035).
-    The test bounds |g_ad| << |g_fd| so a future two-sided term (which
-    would track g_fd) will intentionally fail and retire these bounds.
-
-Geometry recovery tests that rely on the term (tests/test_inverse.py) use
-sky-dominated configs, which is exactly the regime validated here.
+  * occluded edge: sign correct, same envelope (measured: g_fd ~ -0.43,
+    g_ad ~ -0.15 — the r3 one-sided term gave +0.035 here).
 """
 
 import dataclasses
@@ -76,11 +71,16 @@ def test_silhouette_gradient_against_sky():
     assert 0.15 < ratio < 3.0, (g_ad, g_fd)
 
 
-def test_silhouette_gradient_against_occluder_is_biased():
-    """Edge over another sphere: the one-sided term substitutes sky for
-    the occluded object's radiance and is NOT trusted — here it is ~12x
-    too small with the wrong sign.  This test pins the measured envelope;
-    a correct two-sided term would track g_fd and should retire it."""
+def test_silhouette_gradient_against_occluder():
+    """Edge over another sphere: the TWO-SIDED boundary term (r4) uses
+    the runner-up hit's one-bounce shade as the background estimate, so
+    the gradient now tracks finite differences against occluders too.
+
+    History: the r3 one-sided (sky-completion) term measured g_ad ~ +0.035
+    against g_fd ~ -0.43 on this fixture — wrong sign, ~12x too small —
+    and the r3 version of this test pinned that bias.  Two-sided measured
+    2026-08-21: g_ad ~ -0.151, ratio 0.35 — the same envelope as the
+    sky-background case."""
     reg = MaterialRegistry()
     g = reg.lambertian("ground", (0.5, 0.5, 0.5))
     mb = reg.lambertian("back", (0.1, 0.2, 0.7))
@@ -91,11 +91,10 @@ def test_silhouette_gradient_against_occluder_is_biased():
         ((0.35, 0.05, -1.0), 0.25, ma),   # edge lies over B, not sky
     ], reg)
     g_ad, g_fd = _grad_and_fd(scene, 2, (slice(8, 24), slice(30, 52)))
-    # Measured 2026-08: g_fd ~ -0.43 (true silhouette derivative vs the
-    # occluded sphere), g_ad ~ +0.035 (sky-completion bias).  The bias is
-    # real and documented; bound it rather than pretend it's small.
     assert abs(g_fd) > 0.2, f"fixture lost its occluded edge (g_fd={g_fd})"
-    assert abs(g_ad) < 0.3 * abs(g_fd), (g_ad, g_fd)
+    assert np.sign(g_ad) == np.sign(g_fd), (g_ad, g_fd)
+    ratio = abs(g_ad) / abs(g_fd)
+    assert 0.15 < ratio < 3.0, (g_ad, g_fd)
 
 
 def test_edge_softness_zero_off_silhouette_unbiased():

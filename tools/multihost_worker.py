@@ -63,6 +63,56 @@ def main():
         sys.exit(1)
     print(f"proc {pid}: OK bit-exact over {nproc} processes", flush=True)
 
+    # ---- HLO collective audit on the REAL multi-process mesh ----------
+    # (VERDICT r3 item 6: the single-process virtual-mesh audit in
+    # tools/scaling.py must also hold when the hosts axis spans actual
+    # processes — the partitioner sees a different device assignment.)
+    import dataclasses
+    import functools
+
+    from tools.scaling import audit_collectives
+    from bevy_raytrace_tpu.wavefront.render import render_pixel_range
+
+    local = cfg.num_pixels // (2 * nproc)
+
+    def grad_loss(centers, frame):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        sc = dataclasses.replace(scene, centers=centers)
+
+        @functools.partial(
+            shard_map, mesh=mesh, in_specs=(P(), P()),
+            out_specs=P(("hosts", "chips")), check_vma=False)
+        def fwd(sc, cam_):
+            rank = (jax.lax.axis_index("hosts")
+                    * jax.lax.axis_size("chips")
+                    + jax.lax.axis_index("chips"))
+            return render_pixel_range(
+                sc, cam_, cfg, (rank * local).astype("uint32"),
+                local, frame)
+
+        img = fwd(sc, cam)
+        return (img * img).mean()
+
+    fwd_hlo = (jax.jit(render_sharded, static_argnums=(2, 3))
+               .lower(scene, cam, cfg, mesh, 0).compile().as_text())
+    bwd_hlo = (jax.jit(jax.grad(grad_loss), static_argnums=1)
+               .lower(scene.centers, 0).compile().as_text())
+    fwd_coll = audit_collectives(fwd_hlo)
+    bwd_coll = audit_collectives(bwd_hlo)
+    bwd_bytes = sum(c["bytes"] for c in bwd_coll)
+    if fwd_coll:
+        print(f"proc {pid}: AUDIT FAIL forward collectives {fwd_coll}",
+              flush=True)
+        sys.exit(1)
+    if bwd_bytes >= 1 << 20:
+        print(f"proc {pid}: AUDIT FAIL backward volume {bwd_bytes} B",
+              flush=True)
+        sys.exit(1)
+    print(f"proc {pid}: AUDIT ok fwd_collectives=0 "
+          f"bwd_bytes={bwd_bytes}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -108,6 +108,8 @@ def main():
     p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
     p.add_argument("--trace-dir", default="/tmp/brt_trace")
     p.add_argument("--out", default="SCALING.json")
+    p.add_argument("--no-multiproc", dest="multiproc", action="store_false",
+                   help="skip the real 2-process collective audit")
     args = p.parse_args()
 
     import jax
@@ -210,10 +212,45 @@ def main():
         trace_path = args.trace_dir
         log(f"gradient-step trace captured to {trace_path}")
 
+    # ---- 4. REAL 2-process audit (hosts axis spans OS processes) -------
+    multiproc = None
+    if args.multiproc:
+        import re as _re
+        import socket
+        import subprocess
+
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        coord = f"127.0.0.1:{s.getsockname()[1]}"
+        s.close()
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        procs = [subprocess.Popen(
+            [sys.executable, os.path.join(repo, "tools",
+                                          "multihost_worker.py"),
+             str(pid), "2", coord],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=repo) for pid in range(2)]
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+        ok = all(p.returncode == 0 for p in procs) and all(
+            "AUDIT ok fwd_collectives=0" in o for o in outs)
+        bwd_b = None
+        m = _re.search(r"bwd_bytes=(\d+)", outs[0])
+        if m:
+            bwd_b = int(m.group(1))
+        multiproc = {"processes": 2, "ok": ok,
+                     "forward_collectives": 0 if ok else "FAIL",
+                     "backward_bytes": bwd_b}
+        log(f"2-process audit: ok={ok} bwd_bytes={bwd_b}")
+        assert ok, "multi-process collective audit failed"
+
     out = {
         "workload": f"{args.width}x{args.height}x{args.spp}spp "
                     f"depth {args.depth}, sharded xla wavefront, "
                     f"{scene.count} spheres",
+        "multiprocess_audit": multiproc,
         "host": f"cpu-virtual-{len(devs)} on {os.cpu_count()} cores "
                 "(wall-clock is a structure check only; see docstring)",
         "forward_collectives": {"count": len(fwd_coll),
