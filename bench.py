@@ -145,12 +145,22 @@ def run_verify(scene, camera_fn, cluster_size):
 
 def run_grad_bench(scene, camera_fn):
     """Differentiable-path throughput: paths/s for one value_and_grad
-    step (forward + backward) on a reduced config, via the residual-
-    replay fast path (inverse/fast_grad.py) and the XLA wavefront.
+    step (forward + backward).
 
-    The reference has no gradients at all; BASELINE asks for backward
-    throughput recorded.  Returns a dict of extra JSON fields (empty on
-    failure — the primary metric must never be lost to a grad issue).
+    Three measurements (the reference has no gradients at all; BASELINE
+    asks for backward throughput recorded):
+      grad_fast    — Pallas forward + fused Pallas replay-gradient kernel
+                     (kernels/replay_grad.py), at the historical
+                     400x300x16spp comparison config;
+      grad_xla     — jax.grad of the XLA wavefront at the same config;
+      grad_flagship— the kernel path at the flagship resolution
+                     (1200x800, 32 spp single-shot — the residual
+                     checkpoint is ~1 GB; 256 spp would need spp-chunked
+                     recording), so the backward headline describes the
+                     same pixel workload as the forward headline
+                     (VERDICT r3 item 5).
+    Returns a dict of extra JSON fields (empty on failure — the primary
+    metric must never be lost to a grad issue).
     """
     import dataclasses
 
@@ -164,7 +174,7 @@ def run_grad_bench(scene, camera_fn):
     cfg = RenderConfig(width=400, height=300, samples_per_pixel=16,
                        max_depth=8, spp_chunk=4)
     camera = camera_fn(cfg.aspect)
-    fast = make_fast_renderer(cfg)
+    fast = make_fast_renderer(cfg, backward="kernel")
 
     def loss_fast(centers):
         sc = dataclasses.replace(scene, centers=centers)
@@ -174,9 +184,20 @@ def run_grad_bench(scene, camera_fn):
         sc = dataclasses.replace(scene, centers=centers)
         return jnp.mean(render(sc, camera, cfg, 1) ** 2)
 
+    cfg_big = RenderConfig(width=1200, height=800, samples_per_pixel=32,
+                           max_depth=8, spp_chunk=4)
+    camera_big = camera_fn(cfg_big.aspect)
+    fast_big = make_fast_renderer(cfg_big, backward="kernel")
+
+    def loss_flagship(centers):
+        sc = dataclasses.replace(scene, centers=centers)
+        return jnp.mean(fast_big(sc, camera_big, 1) ** 2)
+
     out = {}
     try:
-        for name, fn in (("fast", loss_fast), ("xla", loss_xla)):
+        for name, fn, c in (("fast", loss_fast, cfg),
+                            ("xla", loss_xla, cfg),
+                            ("flagship", loss_flagship, cfg_big)):
             g = jax.jit(jax.value_and_grad(fn))
             _, gr = g(scene.centers)
             if not bool(jnp.isfinite(gr).all()):
@@ -187,16 +208,15 @@ def run_grad_bench(scene, camera_fn):
                 _, gr = g(scene.centers)
                 float(np.asarray(gr[0, 0]))  # D2H forces completion
                 times.append(time.time() - t0)
-            pps = cfg.rays_per_frame / min(times)
+            pps = c.rays_per_frame / min(times)
             out[f"grad_{name}_paths_per_s"] = pps
             log(f"grad bench ({name}): {min(times):.3f}s/step, "
                 f"{pps:,.0f} paths/s fwd+bwd "
-                f"({cfg.width}x{cfg.height}x{cfg.samples_per_pixel}spp)")
+                f"({c.width}x{c.height}x{c.samples_per_pixel}spp)")
         out["grad_fast_speedup"] = (out["grad_fast_paths_per_s"]
                                     / out["grad_xla_paths_per_s"])
     except Exception as e:  # noqa: BLE001
         log(f"grad bench failed (primary metric unaffected): {e}")
-        return {}
     return out
 
 

@@ -70,10 +70,23 @@ def reflect(v, n):
 
 
 def refract(unit_v, n, etai_over_etat, cos_theta):
-    """Snell refraction, RTiOW form (shade.wgsl:163-180)."""
+    """Snell refraction, RTiOW form (shade.wgsl:163-180).
+
+    The sqrt is guarded at the total-internal-reflection boundary
+    (k -> 0): sqrt'(0) = inf would otherwise leak infinities into the
+    gradient whenever a sampled refraction grazes the TIR limit — seen
+    in practice at flagship sample counts (r4).  Values are unchanged;
+    the unbounded boundary derivative is straight-through dropped below
+    k = 1e-12, the same policy as the tangency guard on hit distances
+    (inverse/fast_grad.py)."""
+    import jax
+
     r_out_perp = etai_over_etat[..., None] * (unit_v + cos_theta[..., None] * n)
     k = jnp.abs(1.0 - jnp.sum(r_out_perp * r_out_perp, axis=-1))
-    r_out_parallel = -jnp.sqrt(k)[..., None] * n
+    k_ok = k > 1e-12
+    sqrt_k = jnp.where(k_ok, jnp.sqrt(jnp.where(k_ok, k, 1.0)),
+                       jax.lax.stop_gradient(jnp.sqrt(k)))
+    r_out_parallel = -sqrt_k[..., None] * n
     return r_out_perp + r_out_parallel
 
 

@@ -629,38 +629,13 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
             dx = jnp.where(alive, sx, dx)
             dy = jnp.where(alive, sy, dy)
             dz = jnp.where(alive, sz, dz)
-            if debug_expr == 'winner':
-                len_acc = (best & _IDX_MASK).reshape(shape).astype(jnp.float32)
-            elif debug_expr == 'bt':
-                len_acc = bt
-            elif debug_expr == 'kind':
-                len_acc = bkd
-            elif debug_expr == 'albr':
-                len_acc = bar
-            elif debug_expr == 'u1':
-                len_acc = u1
-            elif debug_expr == 'nx':
-                len_acc = nx
-            elif debug_expr == 'lx':
-                len_acc = lx
-            elif debug_expr == 'mx':
-                len_acc = mx
-            elif debug_expr == 'ex':
-                len_acc = ex
-            elif debug_expr == 'sx':
-                len_acc = sx
-            elif debug_expr == 'hitf':
-                len_acc = jnp.where(hit, 1.0, 0.0)
-            elif debug_expr == 'bcx':
-                len_acc = bcx
-            elif debug_expr == 'br2':
-                len_acc = br2
-            elif debug_expr == 'binv':
-                len_acc = binv
-            elif debug_expr == 'btm':
-                len_acc = jnp.where(hit, bt, 0.0)
-            elif debug_expr == 'hx':
-                len_acc = hx
+            if debug_expr:
+                # Value probes live in mxu_probes (dev tools only).
+                from bevy_raytrace_tpu.kernels import mxu_probes
+
+                probe = mxu_probes.plane_expr(debug_expr, locals())
+                if probe is not None:
+                    len_acc = probe
             lens[0] = len_acc
             return repack(alive, sample, bounce, ox, oy, oz, dx, dy, dz,
                           tp_r, tp_g, tp_b)
@@ -703,55 +678,31 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
             work = state[0] | (state[1] < spp_total)
             return (jnp.max(jnp.where(work, 1, 0)), it + 1)
 
-        if debug_expr == 'loop_min':
-            # Timing probe: one plane read+write per round, nothing else.
-            def min_body(i, z):
-                state_refs[0][:] = state_refs[0][:] + 1.0
-                return z
-            jax.lax.fori_loop(0, max_rounds, min_body, jnp.int32(0))
-            wout = (jnp.int32(0), jnp.int32(max_rounds))
-        elif debug_expr == 'loop_half':
-            # Timing probe: 8 planes round-tripped per round.
-            def half_body(i, z):
-                for r in state_refs[:8]:
-                    r[:] = r[:] + 1.0
-                return z
-            jax.lax.fori_loop(0, max_rounds, half_body, jnp.int32(0))
-            wout = (jnp.int32(0), jnp.int32(max_rounds))
-        elif debug_expr and debug_expr.endswith('fori'):
-            # Timing probe: same body under scf.for (no per-round scalar
-            # work-flag sync) pinned to max_rounds iterations.
-            def fori_body(i, z):
-                state = (alive_ref[:] > 0.5,) + tuple(
-                    r[:] for r in state_refs)
-                out = body(state)
-                alive_ref[:] = jnp.where(out[0], 1.0, 0.0)
-                for r, v in zip(state_refs, out[1:]):
-                    r[:] = v
-                return z
-            jax.lax.fori_loop(0, max_rounds, fori_body, jnp.int32(0))
-            wout = (jnp.int32(0), jnp.int32(max_rounds))
-        else:
+        wout = None
+        if debug_expr:
+            # Alternate loop drivers for scaffolding-cost probes
+            # (mxu_probes; dev tools only).
+            from bevy_raytrace_tpu.kernels import mxu_probes
+
+            wout = mxu_probes.probe_loop(debug_expr, body, state_refs,
+                                         alive_ref, max_rounds)
+        if wout is None:
             wout = jax.lax.while_loop(ref_cond, ref_body,
                                       (jnp.int32(1), jnp.int32(0)))
-        if debug_expr == 'rounds':
-            # Per-tile round count, broadcast over the len plane.
-            fb_r[:] = state_refs[11][:]
-            fb_g[:] = state_refs[12][:]
-            fb_b[:] = state_refs[13][:]
-            fb_len[:] = zero + (wout[1] * round_unroll).astype(jnp.float32)
-        elif dump is None:
+        if debug_expr == 'rounds' or dump is not None:
+            from bevy_raytrace_tpu.kernels import mxu_probes
+
+            mxu_probes.write_output(debug_expr, dump,
+                                    (fb_r, fb_g, fb_b, fb_len),
+                                    state_refs, alive_ref, wout,
+                                    round_unroll, zero)
+        else:
             for v in range(v_planes):
                 sl = slice(v * tile_rows, (v + 1) * tile_rows)
                 fb_r[sl, :] = state_refs[11 + v][:]
                 fb_g[sl, :] = state_refs[11 + v_planes + v][:]
                 fb_b[sl, :] = state_refs[11 + 2 * v_planes + v][:]
                 fb_len[sl, :] = state_refs[11 + 3 * v_planes + v][:]
-        else:
-            # Debug: dump chosen state planes (-1 = alive) instead of fb.
-            outs = (fb_r, fb_g, fb_b, fb_len)
-            for o, di in zip(outs, dump):
-                o[:] = alive_ref[:] if di < 0 else state_refs[di][:]
 
     return kernel
 

@@ -263,7 +263,12 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
             ppy = ratio * (dy + cos_t * ny)
             ppz = ratio * (dz + cos_t * nz)
             kk = jnp.abs(1.0 - (ppx * ppx + ppy * ppy + ppz * ppz))
-            sqk = jnp.sqrt(kk)
+            # TIR-boundary sqrt guard, in lockstep with
+            # core/materials.py::refract (values unchanged; the unbounded
+            # boundary derivative is dropped below 1e-12).
+            kk_ok = kk > 1e-12
+            sqk = jnp.where(kk_ok, jnp.sqrt(jnp.where(kk_ok, kk, 1.0)),
+                            jax.lax.stop_gradient(jnp.sqrt(kk)))
             gx = ppx - sqk * nx
             gy = ppy - sqk * ny
             gz = ppz - sqk * nz
