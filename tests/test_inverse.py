@@ -67,6 +67,49 @@ def test_optimization_reduces_loss_and_recovers():
     assert err1 < 0.4 * err0, (err0, err1)
 
 
+def test_occluded_geometry_recovery():
+    """Recover a sphere whose silhouette lies over ANOTHER sphere, not
+    sky — the regime the r3 one-sided boundary term got wrong (sign
+    flip, tests/test_silhouette.py history).  With the two-sided term
+    the optimizer must pull the occluder back toward the truth."""
+    from bevy_raytrace_tpu.core.camera import Camera
+    from bevy_raytrace_tpu.scenes.builders import _build
+    from bevy_raytrace_tpu.scenes.registry import MaterialRegistry
+
+    cfg = RenderConfig(width=48, height=32, samples_per_pixel=8,
+                       max_depth=3)
+    cam = Camera.look_at(lookfrom=(0.0, 0.0, 1.0), lookat=(0.0, 0.0, -1.0),
+                         vfov_deg=40.0, aspect=1.5, aperture=0.0)
+    reg = MaterialRegistry()
+    g = reg.lambertian("ground", (0.5, 0.5, 0.5))
+    mb = reg.lambertian("back", (0.1, 0.2, 0.7))
+    ma = reg.lambertian("front", (0.8, 0.3, 0.1))
+    scene_true = _build([
+        ((0.0, -100.5, -1.0), 100.0, g),
+        ((0.0, 0.1, -2.5), 1.1, mb),      # big sphere fills the backdrop
+        ((0.15, 0.05, -1.0), 0.25, ma),   # occluder: every edge over B
+    ], reg)
+    target = jax.jit(render, static_argnums=2)(scene_true, cam, cfg, 7)
+    scene_bad = dataclasses.replace(
+        scene_true,
+        centers=scene_true.centers.at[2].add(
+            jnp.array([0.08, -0.05, 0.0], jnp.float32)))
+    problem = InverseProblem(
+        config=cfg.replace(edge_softness=0.02),
+        camera=cam,
+        target=target,
+        optimizable=("centers",),
+    )
+    result = optimize(scene_bad, problem, steps=80, learning_rate=1e-2)
+    assert result.losses[-1] < result.losses[0] * 0.5, result.losses[::10]
+    err0 = np.linalg.norm(
+        np.asarray(scene_bad.centers)[2] - np.asarray(scene_true.centers)[2])
+    err1 = np.linalg.norm(
+        np.asarray(result.scene.centers)[2]
+        - np.asarray(scene_true.centers)[2])
+    assert err1 < 0.5 * err0, (err0, err1)
+
+
 def test_edge_softness_value_bit_identical():
     """Straight-through soft silhouettes must not change the image."""
     scene_true, _, cam, _ = _target_and_perturbed()
