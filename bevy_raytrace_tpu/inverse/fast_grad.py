@@ -261,9 +261,20 @@ def _permuted_table(scene, sphere_perm):
     return sphere_table(centers, radii, scene.materials, mat_id)
 
 
+def _camera_cotangent(camera, d_cam):
+    """[16] packed camera cotangents -> a Camera-shaped pytree."""
+    return type(camera)(
+        origin=d_cam[0:3], u=d_cam[3:6], v=d_cam[6:9], w=d_cam[9:12],
+        half_width=d_cam[12].reshape(camera.half_width.shape),
+        half_height=d_cam[13].reshape(camera.half_height.shape),
+        lens_radius=d_cam[14].reshape(camera.lens_radius.shape),
+        focus_dist=d_cam[15].reshape(camera.focus_dist.shape),
+    )
+
+
 def make_fast_renderer(config: RenderConfig, tile_rows=None, unroll=None,
                        clusters=None, interpret: bool = False, remat=None,
-                       backward: str = "kernel"):
+                       backward: str = "kernel", grad_spp_chunk: int = 0):
     """A differentiable `render(scene, camera, frame) -> image` whose
     forward is the fused Pallas kernel and whose backward replays the
     recorded paths (no sphere sweep).
@@ -285,6 +296,16 @@ def make_fast_renderer(config: RenderConfig, tile_rows=None, unroll=None,
     `remat` (backward="xla" only): None = checkpoint the replay's bounce
     scan only above a memory threshold (storing is ~36% faster when it
     fits).
+
+    `grad_spp_chunk` (backward="kernel" only): > 0 bounds the residual
+    checkpoint to `grad_spp_chunk` samples at a time — the forward pass
+    records NO residuals (value only); the backward re-renders each
+    sample chunk with residuals and runs the replay-gradient kernel per
+    chunk, accumulating cotangents.  Gradients equal the unchunked
+    kernel's up to f32 summation order; the cost is one extra forward
+    render spread across the backward.  This is what makes full-spp
+    flagship gradients (1200x800x256spp: a 7.9 GB residual checkpoint
+    unchunked) fit in memory.
     """
     from bevy_raytrace_tpu.kernels.pallas_render import UNROLL, render_pallas
 
@@ -294,6 +315,17 @@ def make_fast_renderer(config: RenderConfig, tile_rows=None, unroll=None,
         unroll = UNROLL
     sphere_perm = None if clusters is None else clusters.perm
     record_second = config.edge_softness > 0.0
+
+    if grad_spp_chunk:
+        if backward != "kernel":
+            raise ValueError("grad_spp_chunk requires backward='kernel'")
+        if config.samples_per_pixel % grad_spp_chunk:
+            raise ValueError(
+                f"samples_per_pixel={config.samples_per_pixel} must be "
+                f"divisible by grad_spp_chunk={grad_spp_chunk}")
+        return _make_chunked_renderer(
+            config, tile_rows, unroll, clusters, interpret,
+            record_second, sphere_perm, grad_spp_chunk)
     fwd_kernel = functools.partial(
         render_pallas, tile_rows=tile_rows, unroll=unroll,
         clusters=clusters, with_residuals=True,
@@ -328,14 +360,64 @@ def make_fast_renderer(config: RenderConfig, tile_rows=None, unroll=None,
         d_tbl, d_cam = replay_grad(tbl, camera, config, res, g, frame,
                                    interpret=interpret, res2=res2)
         (d_scene,) = tbl_vjp(d_tbl)
-        d_camera = type(camera)(
-            origin=d_cam[0:3], u=d_cam[3:6], v=d_cam[6:9], w=d_cam[9:12],
-            half_width=d_cam[12].reshape(camera.half_width.shape),
-            half_height=d_cam[13].reshape(camera.half_height.shape),
-            lens_radius=d_cam[14].reshape(camera.lens_radius.shape),
-            focus_dist=d_cam[15].reshape(camera.focus_dist.shape),
-        )
-        return d_scene, d_camera, _zero_cotangent(frame)
+        return (d_scene, _camera_cotangent(camera, d_cam),
+                _zero_cotangent(frame))
 
     render_fast.defvjp(fwd, bwd_kernel if backward == "kernel" else bwd_xla)
+    return render_fast
+
+
+def _make_chunked_renderer(config, tile_rows, unroll, clusters, interpret,
+                           record_second, sphere_perm, chunk):
+    """Fast renderer with spp-chunked residual recording (see
+    make_fast_renderer's grad_spp_chunk)."""
+    import dataclasses
+
+    from bevy_raytrace_tpu.kernels.pallas_render import render_pallas
+    from bevy_raytrace_tpu.kernels.replay_grad import replay_grad
+
+    spp = config.samples_per_pixel
+    n_chunks = spp // chunk
+    cfg_chunk = dataclasses.replace(config, samples_per_pixel=chunk,
+                                    spp_chunk=1)
+    plain_fwd = functools.partial(
+        render_pallas, tile_rows=tile_rows, unroll=unroll,
+        clusters=clusters, interpret=interpret)
+    chunk_fwd = functools.partial(
+        render_pallas, tile_rows=tile_rows, unroll=unroll,
+        clusters=clusters, with_residuals=True,
+        record_second=record_second, interpret=interpret)
+
+    @jax.custom_vjp
+    def render_fast(scene, camera, frame):
+        return plain_fwd(scene, camera, config, frame)
+
+    def fwd(scene, camera, frame):
+        # Value only — no residual checkpoint is kept; the backward
+        # re-renders each sample chunk on demand.
+        return plain_fwd(scene, camera, config, frame), (scene, camera,
+                                                         frame)
+
+    def bwd(saved, g):
+        scene, camera, frame = saved
+        tbl, tbl_vjp = jax.vjp(
+            lambda sc: _permuted_table(sc, sphere_perm), scene)
+        # img = sum_c (chunk/spp) * img_c, and replay_grad folds 1/chunk:
+        # scale g so each chunk contributes 1/spp per path.
+        g_scaled = g * np.float32(chunk / spp)
+        d_tbl = d_cam = None
+        for c in range(n_chunks):
+            _, res, *rest = chunk_fwd(scene, camera, cfg_chunk, frame,
+                                      sample_base=c * chunk)
+            res2 = rest[0] if rest else None
+            dt, dc = replay_grad(tbl, camera, cfg_chunk, res, g_scaled,
+                                 frame, interpret=interpret, res2=res2,
+                                 sample_base=c * chunk)
+            d_tbl = dt if d_tbl is None else d_tbl + dt
+            d_cam = dc if d_cam is None else d_cam + dc
+        (d_scene,) = tbl_vjp(d_tbl)
+        return (d_scene, _camera_cotangent(camera, d_cam),
+                _zero_cotangent(frame))
+
+    render_fast.defvjp(fwd, bwd)
     return render_fast

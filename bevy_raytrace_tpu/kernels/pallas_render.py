@@ -130,6 +130,7 @@ def _make_kernel(
     cluster_size: int = 0,
     with_residuals: bool = False,
     record_second: bool = False,
+    sample_base: int = 0,
 ):
     if with_residuals and skip_dead:
         raise ValueError("with_residuals requires the plain schedule")
@@ -171,7 +172,10 @@ def _make_kernel(
                 res2_ref, *scratch = scratch
         tile = pl.program_id(0)
         s = pl.program_id(1)
-        sample = s.astype(jnp.uint32)
+        # Absolute sample id: RNG counters use sample_base + grid sample,
+        # so a chunked render of samples [base, base+spp) draws exactly
+        # the paths those samples draw in a single full-spp render.
+        sample = s.astype(jnp.uint32) + np.uint32(sample_base)
         seed = seed_ref[0]
 
         shape = (tile_rows, 128)
@@ -582,8 +586,13 @@ def render_pallas(
     clusters=None,
     with_residuals: bool = False,
     record_second: bool = False,
+    sample_base: int = 0,
 ):
     """Drop-in replacement for wavefront.render on the forward path.
+
+    `sample_base` offsets the absolute sample ids (RNG counters): a
+    render of samples [base, base+spp) draws exactly the paths those
+    samples draw in one full-spp render (spp-chunked gradient recording).
 
     `with_residuals=True` additionally returns the per-bounce winner
     sphere index `res` int32 [spp, max_depth, H*W] (-1 = miss), the
@@ -694,6 +703,7 @@ def render_pallas(
         cluster_size=0 if clusters is None else clusters.cluster_size,
         with_residuals=with_residuals,
         record_second=record_second,
+        sample_base=sample_base,
     )
     out_shape = jax.ShapeDtypeStruct((p_pad // 128, 128), jnp.float32)
     fb_spec = pl.BlockSpec(

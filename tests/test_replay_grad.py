@@ -130,3 +130,42 @@ def test_kernel_backward_nonaligned_resolution():
 def test_bad_backward_name_rejected():
     with pytest.raises(ValueError, match="backward"):
         make_fast_renderer(CFG, backward="nope")
+
+
+def test_grad_spp_chunk_matches_unchunked():
+    """spp-chunked residual recording (grad_spp_chunk) must reproduce
+    the unchunked kernel gradients up to f32 summation order, with the
+    SAME sample set (sample_base offsets the RNG counters)."""
+    cfg = RenderConfig(width=48, height=32, samples_per_pixel=4,
+                       max_depth=3, edge_softness=0.01)
+    scene, _ = baseline_config2_scene()
+    cam = baseline_config2_camera(cfg.aspect)
+    w = _probe_weights(cfg)
+
+    def grads(**kw):
+        fast = make_fast_renderer(cfg, interpret=True, **kw)
+
+        def loss(centers):
+            sc = dataclasses.replace(scene, centers=centers)
+            return jnp.sum(fast(sc, cam, 0) * w)
+
+        return jax.value_and_grad(loss)(scene.centers)
+
+    v_full, g_full = grads()
+    v_chunk, g_chunk = grads(grad_spp_chunk=2)
+    np.testing.assert_allclose(np.asarray(v_chunk), np.asarray(v_full),
+                               rtol=1e-6)
+    scale = np.abs(np.asarray(g_full)).max() + 1e-8
+    np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_full),
+                               rtol=1e-4, atol=1e-4 * scale)
+
+
+def test_grad_spp_chunk_validation():
+    with pytest.raises(ValueError, match="divisible"):
+        make_fast_renderer(RenderConfig(width=8, height=8,
+                                        samples_per_pixel=4, max_depth=2),
+                           grad_spp_chunk=3)
+    with pytest.raises(ValueError, match="kernel"):
+        make_fast_renderer(RenderConfig(width=8, height=8,
+                                        samples_per_pixel=4, max_depth=2),
+                           backward="xla", grad_spp_chunk=2)
