@@ -212,36 +212,60 @@ def cmd_animate(args):
     from bevy_raytrace_tpu.core.camera import Camera
     from bevy_raytrace_tpu.io import FrameWriter
 
+    import jax
+    import jax.numpy as jnp
+
     config, scene, camera, _ = _build(args)
     step, extra = _make_step(config, args, scene)
     os.makedirs(args.output, exist_ok=True)
     t_first = t_rest = 0.0
-    # Async writeback: the C++ worker pool (io/writer.py) tone-maps,
-    # encodes and writes frame i while the device renders frame i+1 —
-    # the frame loop never stalls on IO (the reference's presentation
-    # path never blocks either; its image never leaves the GPU).
+
+    # Device-side tone-map: ship 3 bytes/pixel to the host instead of 12.
+    # The D2H link is the frame loop's scarcest resource when the
+    # accelerator is remote/disaggregated (measured through this
+    # environment's tunnel: the 11.5 MB float framebuffer download cost
+    # ~4x the render itself at 1200x800).  PNG output quantizes to 8
+    # bits anyway, so nothing is lost.
+    @jax.jit
+    def _tonemap_u8(img):
+        return (jnp.sqrt(jnp.clip(img, 0.0, 1.0)) * 255.0 + 0.5
+                ).astype(jnp.uint8)
+
+    # Double-buffered frame loop: dispatch frame i+1 to the device BEFORE
+    # downloading frame i, so the D2H transfer rides under the next
+    # frame's render; the worker pool (io/writer.py) then encodes and
+    # writes off-thread.  Neither the device nor the link ever waits on
+    # the other (the reference's presentation path never blocks either;
+    # its image never leaves the GPU).
+    def orbit_cam(i):
+        ang = 2.0 * np.pi * i / args.frames
+        return Camera.look_at(
+            lookfrom=(13.0 * np.cos(ang), 2.0, 13.0 * np.sin(ang)),
+            lookat=(0.0, 0.0, 0.0),
+            vfov_deg=20.0,
+            aspect=config.aspect,
+            aperture=0.1,
+            focus_dist=10.0,
+        )
+
     with FrameWriter() as fw:
+        t0 = time.time()
+        prev = prev_path = None
         for i in range(args.frames):
-            ang = 2.0 * np.pi * i / args.frames
-            cam = Camera.look_at(
-                lookfrom=(13.0 * np.cos(ang), 2.0, 13.0 * np.sin(ang)),
-                lookat=(0.0, 0.0, 0.0),
-                vfov_deg=20.0,
-                aspect=config.aspect,
-                aperture=0.1,
-                focus_dist=10.0,
-            )
-            t0 = time.time()
-            # Timed region ends at a real D2H fetch (block_until_ready can
-            # phantom-return through a remote-device tunnel — ADVICE r3);
-            # the fetched frame is handed straight to the writer.
-            img = np.asarray(step(scene, cam, *extra, i))
-            dt = time.time() - t0
+            u8 = _tonemap_u8(step(scene, orbit_cam(i), *extra, i))
             if i == 0:
-                t_first = dt
-            else:
-                t_rest += dt
-            fw.submit(os.path.join(args.output, f"frame_{i:04d}.png"), img)
+                # Sync on a SCALAR fetch (block_until_ready can phantom-
+                # return through a remote-device tunnel — ADVICE r3) so
+                # the compile cost is attributed to the first frame.
+                np.asarray(u8[0, 0])
+                t_first = time.time() - t0
+                t0 = time.time()
+            if prev is not None:
+                fw.submit(prev_path, np.asarray(prev))
+            prev = u8
+            prev_path = os.path.join(args.output, f"frame_{i:04d}.png")
+        fw.submit(prev_path, np.asarray(prev))
+        t_rest = time.time() - t0
     if args.frames > 1:
         print(
             f"first frame {t_first:.2f}s (compile), then "

@@ -55,11 +55,17 @@ class FrameWriter:
         return self._handle is not None
 
     def submit(self, path: str, img) -> None:
-        """Enqueue a linear float [H, W, 3] frame; returns immediately.
+        """Enqueue a linear float — or pre-tone-mapped uint8 — [H, W, 3]
+        frame; returns immediately.
 
         The buffer is copied before returning, so callers may overwrite
         or free `img` right away.  Format follows the extension
         (.png / .ppm / .exr, same dispatch as `write_image`).
+
+        uint8 frames are already gamma-2 tone-mapped (the device-side
+        tone-map path: a renderer on a remote/disaggregated accelerator
+        should ship 3 bytes/pixel over the interconnect, not 12 — see
+        cli animate); they are encoded as-is.  EXR needs linear float.
         """
         ext = os.path.splitext(path)[1].lower()
         if ext not in _FMT:
@@ -67,9 +73,21 @@ class FrameWriter:
         # Validate before the native/fallback branch: the thread-pool
         # fallback would otherwise accept a malformed frame here and only
         # surface the error later from the worker at wait().
-        rgb = np.ascontiguousarray(np.asarray(img), np.float32)
+        rgb = np.asarray(img)
         if rgb.ndim != 3 or rgb.shape[2] != 3:
             raise ValueError(f"expected [H, W, 3] frame, got {rgb.shape}")
+        if rgb.dtype == np.uint8:
+            if ext == ".exr":
+                raise ValueError("EXR output needs a linear float frame")
+            if self._pool is None:
+                import concurrent.futures
+
+                self._pool = concurrent.futures.ThreadPoolExecutor(
+                    max_workers=2)
+            arr = np.ascontiguousarray(rgb)
+            self._futures.append(self._pool.submit(write_image, path, arr))
+            return
+        rgb = np.ascontiguousarray(rgb, np.float32)
         if self._handle is not None:
             h, w, _ = rgb.shape
             rc = self._lib.brt_writer_submit(
@@ -87,25 +105,27 @@ class FrameWriter:
             self._futures.append(self._pool.submit(write_image, path, arr))
 
     def wait(self) -> None:
-        """Block until every submitted frame is on disk; raise on failure."""
+        """Block until every submitted frame is on disk; raise on failure.
+
+        Both queues are drained: a native writer can hold float frames
+        while uint8 frames ride the thread pool."""
+        native_failed = 0
         if self._handle is not None:
-            failed = self._lib.brt_writer_wait(self._handle)
-            if failed:
-                raise IOError(f"{failed} frame(s) failed to write")
-        else:
-            futures, self._futures = self._futures, []
-            errors = []
-            for f in futures:
-                try:
-                    f.result()
-                except Exception as e:  # noqa: BLE001 — collected below
-                    errors.append(e)
-            if errors:
-                # Match the native path: report ALL failures, not just
-                # the first future's.
-                raise IOError(
-                    f"{len(errors)} frame(s) failed to write: "
-                    + "; ".join(str(e) for e in errors[:4]))
+            native_failed = self._lib.brt_writer_wait(self._handle)
+        futures, self._futures = self._futures, []
+        errors = []
+        for f in futures:
+            try:
+                f.result()
+            except Exception as e:  # noqa: BLE001 — collected below
+                errors.append(e)
+        if native_failed or errors:
+            # Match the native path: report ALL failures, not just
+            # the first future's.
+            raise IOError(
+                f"{native_failed + len(errors)} frame(s) failed to write"
+                + (": " + "; ".join(str(e) for e in errors[:4])
+                   if errors else ""))
 
     def close(self) -> None:
         if self._handle is not None:

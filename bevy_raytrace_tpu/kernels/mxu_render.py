@@ -807,7 +807,7 @@ def render_mxu(
     frame=0,
     interpret: bool = False,
     tile_rows: int = TILE_ROWS,
-    sphere_chunk: int = SPHERE_CHUNK,
+    sphere_chunk: int = 0,
     perm=None,
     plan=None,
     round_unroll: int = ROUND_UNROLL,
@@ -835,7 +835,7 @@ def render_mxu_lanes(
     frame=0,
     interpret: bool = False,
     tile_rows: int = TILE_ROWS,
-    sphere_chunk: int = SPHERE_CHUNK,
+    sphere_chunk: int = 0,
     sample_base: int = 0,
     max_rounds: int = 0,
     plan=None,
@@ -864,6 +864,13 @@ def render_mxu_lanes(
         sphere_chunk = plan.cluster_size
         s_pad = plan.n_clusters * plan.cluster_size
     else:
+        if not sphere_chunk:
+            # Auto: one fused chunk sized to the scene (128-row MXU/VPU
+            # granularity), capped at SPHERE_CHUNK.  A small scene must
+            # not pay the flagship scene's sweep width: 197 reference-
+            # scene spheres at the fixed sc=512 swept 61%% dud rows.
+            sphere_chunk = min(SPHERE_CHUNK,
+                               max(-(-scene.count // 128), 1) * 128)
         s_pad = max(-(-scene.count // sphere_chunk), 1) * sphere_chunk
 
     geom, limbs, bnd, prio = _scene_matrices(scene, s_pad, plan)
@@ -948,7 +955,7 @@ def render_mxu_with_len(
     frame=0,
     interpret: bool = False,
     tile_rows: int = TILE_ROWS,
-    sphere_chunk: int = SPHERE_CHUNK,
+    sphere_chunk: int = 0,
     perm=None,
     sample_base: int = 0,
     plan=None,
@@ -1045,7 +1052,7 @@ def balance_perm(len_map, coherent: bool = True, quant: float = 2.0):
 def render_mxu_balanced(scene, camera, config: RenderConfig, frame=0,
                         probe_spp: int = 16, interpret: bool = False,
                         tile_rows: int = TILE_ROWS,
-                        sphere_chunk: int = SPHERE_CHUNK,
+                        sphere_chunk: int = 0,
                         probe_reuse: bool = True, plan=None,
                         round_unroll: int = ROUND_UNROLL,
                         v_planes: int = V_PLANES):
