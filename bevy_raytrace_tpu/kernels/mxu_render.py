@@ -49,8 +49,10 @@ probe, render the permuted wavefront, un-permute the framebuffer.  RNG
 counters key on absolute pixel id, so any permutation is bit-exact
 (SURVEY.md §7: same stream regardless of layout).
 
-Forward-only, like the reference's render path; gradients use the XLA
-wavefront (wavefront/render.py) with rematerialization.
+Forward-only, like the reference's render path; gradients use the
+residual-replay pair (v1 kernel forward recording winners +
+kernels/replay_grad.py fused backward), with the XLA wavefront
+(wavefront/render.py) as the differentiable oracle.
 """
 
 from __future__ import annotations

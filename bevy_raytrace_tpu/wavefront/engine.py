@@ -186,6 +186,24 @@ class Renderer:
         self.ready = True
         return self._compile_time
 
+    def warmup_async(self, scene, camera):
+        """Non-blocking compile — the reference's async pipeline build
+        (`src/ray_trace_pipeline.rs:49-59`: shaders compile in the
+        background while the app stays responsive, and the frame node
+        idles in Loading until ready, `src/ray_trace_node.rs:173-193`).
+
+        Returns a `concurrent.futures.Future` resolving to the compile
+        seconds; `self.ready` flips when compilation finishes.  Callers
+        may keep doing host-side work (scene edits, IO) meanwhile and
+        either poll `ready` or call `render_frame` directly (which then
+        waits on the same jit cache instead of recompiling)."""
+        import concurrent.futures
+
+        ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        fut = ex.submit(self.warmup, scene, camera)
+        ex.shutdown(wait=False)
+        return fut
+
     def render_frame(self, scene, camera, timer: Optional[FrameTimer] = None):
         """Render the next frame (frame counter auto-advances)."""
         if timer is not None:

@@ -29,6 +29,21 @@ def test_warmup_and_frames_advance():
     assert np.abs(a - b).max() > 1e-4  # frame counter advanced -> new noise
 
 
+def test_warmup_async_nonblocking():
+    """The reference compiles pipelines asynchronously and idles in
+    Loading until ready (`src/ray_trace_node.rs:173-193`); warmup_async
+    is that analog: the caller's thread stays free, `ready` flips on
+    completion, and the subsequent frame reuses the warmed jit cache."""
+    scene, cam = _scene_cam()
+    r = Renderer(CFG, backend="xla")
+    assert not r.ready
+    fut = r.warmup_async(scene, cam)
+    dt = fut.result(timeout=120)  # Loading -> Ready
+    assert r.ready and dt > 0
+    img = np.asarray(r.render_frame(scene, cam))
+    assert img.shape == (16, 32, 3) and np.isfinite(img).all()
+
+
 def test_backends_agree():
     scene, cam = _scene_cam()
     imgs = {}
