@@ -264,7 +264,8 @@ def cmd_animate(args):
                 fw.submit(prev_path, np.asarray(prev))
             prev = u8
             prev_path = os.path.join(args.output, f"frame_{i:04d}.png")
-        fw.submit(prev_path, np.asarray(prev))
+        if prev is not None:  # --frames 0 renders nothing
+            fw.submit(prev_path, np.asarray(prev))
         t_rest = time.time() - t0
     if args.frames > 1:
         print(

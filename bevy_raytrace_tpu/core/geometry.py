@@ -86,6 +86,23 @@ def _trunc_top8(v):
                                         jnp.float32)
 
 
+def split_bf16_limbs(v):
+    """f32 -> three exactly-bf16-representable f32 limbs, hi+mid+lo == v
+    bit-for-bit.
+
+    THE shared limb splitter for every exact-bf16-MXU trick in the tree
+    (the gather transpose below, the v3 kernel's attribute tables, the
+    replay-gradient kernel's cotangent contraction): products of an
+    exact 0/1 one-hot with bf16 limbs are exact and f32 = hi+mid+lo
+    reassembles exactly.  Must stay integer-masked (see _trunc_top8's
+    excess-precision note); safe to call inside Pallas kernels."""
+    hi = _trunc_top8(v)
+    r1 = v - hi
+    mid = _trunc_top8(r1)
+    lo = r1 - mid
+    return hi, mid, lo
+
+
 # The one-hot transpose materializes an [R_chunk, S] bf16 operand; cap it
 # at ~64 MB per chunk so full-resolution gradients (R ~ 1M rays) never hold
 # a ~1 GB one-hot per bounce residual (same memory-bounding spirit as
@@ -108,10 +125,7 @@ def _gather_rows_bwd(saved, g):
 
     def partial(idx_c, g_c):
         onehot = (idx_c[:, None] == rows).astype(jnp.bfloat16)  # [Rc, S]
-        hi = _trunc_top8(g_c)
-        r1 = g_c - hi
-        mid = _trunc_top8(r1)
-        lo = r1 - mid
+        hi, mid, lo = split_bf16_limbs(g_c)
         acc = None
         for limb in (hi, mid, lo):
             part = jnp.dot(onehot.T, limb.astype(jnp.bfloat16),

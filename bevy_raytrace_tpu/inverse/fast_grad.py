@@ -262,14 +262,9 @@ def _permuted_table(scene, sphere_perm):
 
 
 def _camera_cotangent(camera, d_cam):
-    """[16] packed camera cotangents -> a Camera-shaped pytree."""
-    return type(camera)(
-        origin=d_cam[0:3], u=d_cam[3:6], v=d_cam[6:9], w=d_cam[9:12],
-        half_width=d_cam[12].reshape(camera.half_width.shape),
-        half_height=d_cam[13].reshape(camera.half_height.shape),
-        lens_radius=d_cam[14].reshape(camera.lens_radius.shape),
-        focus_dist=d_cam[15].reshape(camera.focus_dist.shape),
-    )
+    """[16] packed camera cotangents -> a Camera-shaped pytree
+    (the inverse of Camera.pack's canonical kernel-operand layout)."""
+    return camera.unpack_cotangent(d_cam)
 
 
 def make_fast_renderer(config: RenderConfig, tile_rows=None, unroll=None,

@@ -41,6 +41,7 @@ class FrameWriter:
         self._lib = native.load()
         self._handle = None
         self._pool = None
+        self._n_threads = int(n_threads)
         self._futures = []
         if self._lib is not None:
             self._handle = self._lib.brt_writer_create(int(n_threads))
@@ -83,7 +84,7 @@ class FrameWriter:
                 import concurrent.futures
 
                 self._pool = concurrent.futures.ThreadPoolExecutor(
-                    max_workers=2)
+                    max_workers=self._n_threads)
             arr = np.ascontiguousarray(rgb)
             self._futures.append(self._pool.submit(write_image, path, arr))
             return

@@ -782,18 +782,10 @@ def _scene_matrices(scene, s_pad, plan=None):
     # Limb split via bit masking, NOT dtype casts: under TPU XLA's
     # --xla_allow_excess_precision=true the round-trip `a - bf16(a)` is
     # legally folded to zero (verified on hardware — the gather silently
-    # became hi-limb-only).  Truncating the low 16 mantissa bits with
-    # integer ops cannot be folded; each masked residual is exactly
-    # bf16-representable, so hi+mid+lo still reassembles f32 exactly.
-    def trunc16(v):
-        bits = jax.lax.bitcast_convert_type(v, jnp.int32)
-        return jax.lax.bitcast_convert_type(
-            bits & np.int32(~0xFFFF), jnp.float32)
+    # became hi-limb-only).  The shared splitter documents the contract.
+    from bevy_raytrace_tpu.core.geometry import split_bf16_limbs
 
-    hi32 = trunc16(attrs)
-    r1 = attrs - hi32
-    mid32 = trunc16(r1)
-    lo32 = r1 - mid32
+    hi32, mid32, lo32 = split_bf16_limbs(attrs)
     limbs = jnp.concatenate([
         hi32.astype(jnp.bfloat16),
         mid32.astype(jnp.bfloat16),
@@ -877,12 +869,7 @@ def render_mxu_lanes(
 
     geom, limbs, bnd, prio = _scene_matrices(scene, s_pad, plan)
 
-    cam = jnp.concatenate([
-        camera.origin.reshape(-1), camera.u.reshape(-1),
-        camera.v.reshape(-1), camera.w.reshape(-1),
-        camera.half_width.reshape(-1), camera.half_height.reshape(-1),
-        camera.lens_radius.reshape(-1), camera.focus_dist.reshape(-1),
-    ]).astype(jnp.float32)
+    cam = camera.pack()
     with np.errstate(over="ignore"):
         seed = np.uint32(config.seed) + np.uint32(FRAME_MIX) * (
             np.uint32(frame) if isinstance(frame, int)

@@ -674,18 +674,7 @@ def render_pallas(
         mpad[5, :] = 1.0
         mats = jnp.concatenate([mats, jnp.asarray(mpad)], axis=1)
 
-    cam = jnp.concatenate(
-        [
-            camera.origin.reshape(-1),
-            camera.u.reshape(-1),
-            camera.v.reshape(-1),
-            camera.w.reshape(-1),
-            camera.half_width.reshape(-1),
-            camera.half_height.reshape(-1),
-            camera.lens_radius.reshape(-1),
-            camera.focus_dist.reshape(-1),
-        ]
-    ).astype(jnp.float32)  # [16]
+    cam = camera.pack()  # [16], core/camera.py's canonical layout
 
     with np.errstate(over="ignore"):
         seed = np.uint32(config.seed) + np.uint32(FRAME_MIX) * (

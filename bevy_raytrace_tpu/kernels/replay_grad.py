@@ -68,22 +68,7 @@ _N_ATTR = 11
 _UNIT_Z_Z = 1.0  # miss-lane outward normal is +Z (fast_grad._UNIT_Z)
 
 
-def _trunc16(v):
-    """Drop the low 16 mantissa bits (exactly bf16-representable).
-
-    Integer masking, NOT a bf16 round-trip: --xla_allow_excess_precision
-    legally folds `v - f32(bf16(v))` to zero (mxu_render.py limb note)."""
-    bits = jax.lax.bitcast_convert_type(v, jnp.int32)
-    return jax.lax.bitcast_convert_type(bits & np.int32(~0xFFFF),
-                                        jnp.float32)
-
-
-def _limb_split(v):
-    hi = _trunc16(v)
-    r1 = v - hi
-    mid = _trunc16(r1)
-    lo = r1 - mid
-    return hi, mid, lo
+from bevy_raytrace_tpu.core.geometry import split_bf16_limbs as _limb_split
 
 
 def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
@@ -449,12 +434,7 @@ def replay_grad(table, camera, config: RenderConfig, res, g, frame=0,
         lo.astype(jnp.bfloat16),
     ], axis=0)  # (48, S)
 
-    cam = jnp.concatenate([
-        camera.origin.reshape(-1), camera.u.reshape(-1),
-        camera.v.reshape(-1), camera.w.reshape(-1),
-        camera.half_width.reshape(-1), camera.half_height.reshape(-1),
-        camera.lens_radius.reshape(-1), camera.focus_dist.reshape(-1),
-    ]).astype(jnp.float32)
+    cam = camera.pack()
     with np.errstate(over="ignore"):
         seed = np.uint32(config.seed) + np.uint32(FRAME_MIX) * (
             np.uint32(frame) if isinstance(frame, int)

@@ -196,12 +196,29 @@ class Renderer:
         seconds; `self.ready` flips when compilation finishes.  Callers
         may keep doing host-side work (scene edits, IO) meanwhile and
         either poll `ready` or call `render_frame` directly (which then
-        waits on the same jit cache instead of recompiling)."""
-        import concurrent.futures
+        waits on the same jit cache instead of recompiling).
 
-        ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-        fut = ex.submit(self.warmup, scene, camera)
-        ex.shutdown(wait=False)
+        The compile runs on a DAEMON thread (an early interpreter exit
+        must not block on a minutes-long remote compile), and repeated
+        calls while one is pending return the same future rather than
+        racing two compilations."""
+        import concurrent.futures
+        import threading
+
+        pending = getattr(self, "_warmup_future", None)
+        if pending is not None and not pending.done():
+            return pending
+        fut = concurrent.futures.Future()
+
+        def run():
+            try:
+                fut.set_result(self.warmup(scene, camera))
+            except BaseException as e:  # noqa: BLE001 — routed to future
+                fut.set_exception(e)
+
+        threading.Thread(target=run, daemon=True,
+                         name="brt-warmup").start()
+        self._warmup_future = fut
         return fut
 
     def render_frame(self, scene, camera, timer: Optional[FrameTimer] = None):
