@@ -38,6 +38,9 @@ def test_warmup_async_nonblocking():
     r = Renderer(CFG, backend="xla")
     assert not r.ready
     fut = r.warmup_async(scene, cam)
+    # A second call while one is pending must share the future, not race
+    # two compilations.
+    assert r.warmup_async(scene, cam) is fut
     dt = fut.result(timeout=120)  # Loading -> Ready
     assert r.ready and dt > 0
     img = np.asarray(r.render_frame(scene, cam))

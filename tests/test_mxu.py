@@ -60,6 +60,37 @@ def test_mxu_matches_xla_defocus_scene():
     _compare(scene, rtiow_final_camera(cfg.aspect), cfg)
 
 
+def test_mxu_probe_surface_smoke():
+    """The dev-tool probe surface (kernels/mxu_probes.py, reached via
+    render_mxu_lanes' debug_expr/dump) must keep compiling after kernel
+    refactors — BENCHMARKS.md's reproduce commands depend on it."""
+    from bevy_raytrace_tpu.kernels.mxu_render import (
+        lane_pad,
+        render_mxu_lanes,
+    )
+    import jax.numpy as jnp
+
+    cfg = RenderConfig(width=32, height=16, samples_per_pixel=1,
+                       max_depth=2)
+    scene, _ = baseline_config1_scene()
+    cam = baseline_config1_camera(cfg.aspect)
+    p_pad = lane_pad(cfg.num_pixels, 8, 1)
+    pids = jnp.arange(p_pad, dtype=jnp.int32).reshape(p_pad // 128, 128)
+    # Value probe: the plane shows the LAST executed round, so pin ONE
+    # round — every lane's round is then its camera ray, and the winner
+    # t must be positive wherever that ray hits.
+    _, ln = render_mxu_lanes(scene, cam, cfg, pids, interpret=True,
+                             v_planes=1, debug_expr="btm", max_rounds=1)
+    ln = np.asarray(ln).reshape(-1)[:cfg.num_pixels]  # drop pad lanes
+    assert np.isfinite(ln).all() and (ln >= 0).all()
+    assert (ln > 0).mean() > 0.3  # most camera rays hit something
+    # Loop-driver probe (pinned fori rounds) still builds and runs.
+    fb, _ = render_mxu_lanes(scene, cam, cfg, pids, interpret=True,
+                             v_planes=1, debug_expr="full_fori",
+                             max_rounds=4)
+    assert np.isfinite(np.asarray(fb)).all()
+
+
 def test_mxu_culled_bit_identical_to_dense():
     """Chunk-culled traversal (phase-A bounds + per-lane t_ub from the
     static priority set AND the cached previous-round winner) must be
