@@ -339,7 +339,7 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                 # garbage; round count pinned by max_rounds).
                 best = flat(izero) + _NO_HIT
             elif not culled:
-                packed_chunks = []
+                best = None
                 for c in range(n_chunks):
                     sl = slice(c * chunk, (c + 1) * chunk)
                     # (sliced views of the hoisted iota crash Mosaic's
@@ -347,12 +347,16 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                     # in-body iota is fine.)
                     idx = jax.lax.broadcasted_iota(
                         jnp.int32, (chunk, r_lanes), 0) + np.int32(c * chunk)
-                    packed_chunks.append(chunk_packed(
+                    packed = chunk_packed(
                         oxr - geom_ref[sl, 0:1], oyr - geom_ref[sl, 1:2],
-                        ozr - geom_ref[sl, 2:3], geom_ref[sl, 3:4], idx))
-                packed_all = (packed_chunks[0] if n_chunks == 1
-                              else jnp.concatenate(packed_chunks, axis=0))
-                best = jnp.min(packed_all, axis=0, keepdims=True)  # (1, R)
+                        ozr - geom_ref[sl, 2:3], geom_ref[sl, 3:4], idx)
+                    # Per-chunk min + pairwise minimum, NOT a concatenate
+                    # of all chunks followed by one min: the concat
+                    # materialized an (S, R) seam between otherwise
+                    # independent chunk chains (r3's measured multi-chunk
+                    # penalty).
+                    m = jnp.min(packed, axis=0, keepdims=True)  # (1, R)
+                    best = m if best is None else jnp.minimum(best, m)
             else:
                 # ---- priority spheres: a per-lane nearest-t upper bound -
                 # The K largest spheres (RTiOW: the r=1000 ground + the
