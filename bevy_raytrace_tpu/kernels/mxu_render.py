@@ -871,6 +871,17 @@ def render_mxu_lanes(
                                max(-(-scene.count // 128), 1) * 128)
         s_pad = max(-(-scene.count // sphere_chunk), 1) * sphere_chunk
 
+    if s_pad > (1 << IDX_BITS):
+        # The packed nearest-hit key carries IDX_BITS of sphere index;
+        # more spheres would silently attribute winners to the wrong
+        # sphere (index wraparound), not merely lose precision.
+        raise ValueError(
+            f"the v3 kernel's packed key supports at most {1 << IDX_BITS} "
+            f"sphere slots (IDX_BITS={IDX_BITS}); got {s_pad} "
+            f"(scene.count={scene.count}).  Use the pallas or xla backend "
+            f"for larger scenes, or raise IDX_BITS (costs nearest-hit key "
+            f"precision).")
+
     geom, limbs, bnd, prio = _scene_matrices(scene, s_pad, plan)
 
     cam = camera.pack()

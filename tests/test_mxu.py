@@ -60,6 +60,28 @@ def test_mxu_matches_xla_defocus_scene():
     _compare(scene, rtiow_final_camera(cfg.aspect), cfg)
 
 
+def test_mxu_rejects_scenes_beyond_key_capacity():
+    """The packed key carries IDX_BITS of sphere index; a scene past that
+    must fail loudly, not silently attribute winners to wrong spheres."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg = RenderConfig(width=32, height=16, samples_per_pixel=1,
+                       max_depth=2)
+    scene, _ = baseline_config1_scene()
+    n = 1100  # > 2**IDX_BITS slots
+    big = dataclasses.replace(
+        scene,
+        centers=jnp.zeros((n, 3), jnp.float32),
+        radii=jnp.ones((n,), jnp.float32),
+        material_id=jnp.zeros((n,), jnp.int32),
+    )
+    cam = baseline_config1_camera(cfg.aspect)
+    with pytest.raises(ValueError, match="sphere slots"):
+        render_mxu(big, cam, cfg, interpret=True)
+
+
 def test_mxu_probe_surface_smoke():
     """The dev-tool probe surface (kernels/mxu_probes.py, reached via
     render_mxu_lanes' debug_expr/dump) must keep compiling after kernel
