@@ -871,6 +871,17 @@ def render_mxu_lanes(
                                max(-(-scene.count // 128), 1) * 128)
         s_pad = max(-(-scene.count // sphere_chunk), 1) * sphere_chunk
 
+    p_lanes = pid_grid.shape[0] * 128
+    if p_lanes >= (1 << 24) or config.samples_per_pixel * v_planes >= (1 << 24):
+        # Pixel ids and per-lane sample counters ride in f32 planes
+        # (Mosaic cannot carry i32 through the while loop) — exact only
+        # below 2^24.  An 8K-class framebuffer or an absurd spp would
+        # corrupt silently; shard the image instead (render_mxu_sharded
+        # keys RNG on absolute ids, so stripes compose bit-exactly).
+        raise ValueError(
+            f"pixel lanes ({p_lanes}) and samples_per_pixel*v_planes "
+            f"({config.samples_per_pixel * v_planes}) must stay below "
+            f"2^24 (f32-exact lane counters); shard larger framebuffers")
     if s_pad > (1 << IDX_BITS):
         # The packed nearest-hit key carries IDX_BITS of sphere index;
         # more spheres would silently attribute winners to the wrong

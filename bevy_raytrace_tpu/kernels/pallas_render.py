@@ -617,6 +617,14 @@ def render_pallas(
     """
     n = scene.count
     num_pixels = config.num_pixels
+    if num_pixels >= (1 << 24):
+        # Pixel coords derive from f32 pid math in-kernel (exact below
+        # 2^24); an 8K-class framebuffer would corrupt silently — shard
+        # the image instead (RNG keys on absolute ids, stripes compose
+        # bit-exactly).
+        raise ValueError(
+            f"num_pixels={num_pixels} must stay below 2^24 for the fused "
+            f"kernel's f32-exact pixel ids; shard larger framebuffers")
     if tile_rows is None:
         tile_rows = TILE_ROWS if clusters is None else CLUSTERED_TILE_ROWS
     tile_px = tile_rows * 128

@@ -82,6 +82,17 @@ def test_mxu_rejects_scenes_beyond_key_capacity():
         render_mxu(big, cam, cfg, interpret=True)
 
 
+def test_mxu_rejects_framebuffer_beyond_f32_exact_ids():
+    """Pixel ids ride in f32 planes (exact < 2^24): an 8K-class
+    framebuffer must fail loudly, pointing at the sharded path."""
+    cfg = RenderConfig(width=8192, height=4096, samples_per_pixel=1,
+                       max_depth=2)
+    scene, _ = baseline_config1_scene()
+    cam = baseline_config1_camera(cfg.aspect)
+    with pytest.raises(ValueError, match="2\\^24"):
+        render_mxu(scene, cam, cfg, interpret=True)
+
+
 def test_mxu_probe_surface_smoke():
     """The dev-tool probe surface (kernels/mxu_probes.py, reached via
     render_mxu_lanes' debug_expr/dump) must keep compiling after kernel
