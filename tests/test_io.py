@@ -142,6 +142,31 @@ def test_frame_writer_matches_sync_writes(tmp_path):
             assert a == s, f"frame {i} .{ext} differs"
 
 
+def test_frame_writer_u8_frames(tmp_path):
+    """Pre-tone-mapped uint8 frames (the device-side tone-map path used
+    by cli animate) encode byte-identically to tone-mapping the same
+    linear floats on the host, interleave with float submissions, and
+    are rejected for EXR (which needs linear float)."""
+    import pytest
+
+    from bevy_raytrace_tpu.io import FrameWriter, write_image
+    from bevy_raytrace_tpu.io.image import tonemap
+
+    rng = np.random.default_rng(11)
+    lin = rng.random((24, 32, 3), np.float32).astype(np.float32)
+    u8 = tonemap(lin)
+    with FrameWriter() as fw:
+        fw.submit(str(tmp_path / "u8.png"), u8)
+        fw.submit(str(tmp_path / "f32.png"), lin)  # mixed queues drain
+        with pytest.raises(ValueError, match="EXR"):
+            fw.submit(str(tmp_path / "u8.exr"), u8)
+    write_image(str(tmp_path / "sync.png"), lin)
+    assert ((tmp_path / "u8.png").read_bytes()
+            == (tmp_path / "sync.png").read_bytes())
+    assert ((tmp_path / "f32.png").read_bytes()
+            == (tmp_path / "sync.png").read_bytes())
+
+
 def test_frame_writer_submit_returns_before_write(tmp_path):
     """submit() copies the buffer: mutating the source after submit must
     not corrupt the output."""
