@@ -28,8 +28,9 @@ class Renderer:
       config: static render configuration.
       backend: "xla" (differentiable reference path), "mxu" (the fast
         fused TPU kernel with cost-balanced scheduling, forward-only),
-        "pallas" (the v1 fused kernel, cluster-culled), or "sharded"
-        (pixels over a device mesh).
+        "pallas" (the v1 fused kernel, cluster-culled), "sharded"
+        (pixels over a device mesh, xla wavefront per stripe), or
+        "mxu-sharded" (the v3 kernel per device stripe — config 5).
       mesh: required for backend="sharded".
       cluster_size: pallas-backend traversal granularity (0 disables
         culling; must be a multiple of the kernel unroll).
@@ -154,14 +155,28 @@ class Renderer:
 
             self._step = step
             self._extra = (config,)
-        elif backend == "sharded":
+        elif backend in ("sharded", "mxu-sharded"):
             if mesh is None:
                 from bevy_raytrace_tpu.shard import make_mesh
 
                 mesh = make_mesh()
-            from bevy_raytrace_tpu.shard import render_sharded
+            if backend == "mxu-sharded":
+                # The config-5 composition: the fused v3 kernel per
+                # device stripe under shard_map (bit-identical across
+                # mesh shapes, tests/test_mxu.py) — previously reachable
+                # only through the CLI, not the session API.
+                import functools
 
-            self._step = jax.jit(render_sharded, static_argnums=(2, 3))
+                from bevy_raytrace_tpu.shard import render_mxu_sharded
+
+                self._step = jax.jit(
+                    functools.partial(render_mxu_sharded,
+                                      interpret=interpret),
+                    static_argnums=(2, 3))
+            else:
+                from bevy_raytrace_tpu.shard import render_sharded
+
+                self._step = jax.jit(render_sharded, static_argnums=(2, 3))
             self._extra = (config, mesh)
         else:
             raise ValueError(f"unknown backend {backend!r}")

@@ -29,6 +29,18 @@ def test_warmup_and_frames_advance():
     assert np.abs(a - b).max() > 1e-4  # frame counter advanced -> new noise
 
 
+def test_mxu_sharded_session_matches_mxu():
+    """backend='mxu-sharded' (config-5 composition through the session
+    API) is bit-identical to the single-device mxu render."""
+    scene, cam = _scene_cam()
+    a = np.asarray(Renderer(CFG, backend="mxu",
+                            interpret=True).render_frame(scene, cam))
+    r = Renderer(CFG, backend="mxu-sharded", mesh=make_mesh(hosts=2),
+                 interpret=True)
+    b = np.asarray(r.render_frame(scene, cam))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_warmup_async_nonblocking():
     """The reference compiles pipelines asynchronously and idles in
     Loading until ready (`src/ray_trace_node.rs:173-193`); warmup_async
