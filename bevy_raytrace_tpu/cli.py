@@ -189,11 +189,22 @@ def cmd_render(args):
 
     config, scene, camera, _ = _build(args)
     step, extra = _make_step(config, args, scene)
+    # PNG/PPM quantize to 8 bits anyway: tone-map on DEVICE and ship 3
+    # bytes/pixel over the D2H link instead of 12 (see cmd_animate's
+    # note; EXR keeps the linear floats).
+    to_u8 = os.path.splitext(args.output)[1].lower() != ".exr"
     t0 = time.time()
     # D2H fetch inside the timed region: jax.block_until_ready can
     # phantom-return through a remote-device tunnel (bench.py does the
     # same); the fetched array is what write_image needs anyway.
-    img = np.asarray(step(scene, camera, *extra, args.frame))
+    out = step(scene, camera, *extra, args.frame)
+    if to_u8:
+        import jax
+        import jax.numpy as jnp
+
+        out = jax.jit(lambda x: (jnp.sqrt(jnp.clip(x, 0.0, 1.0)) * 255.0
+                                 + 0.5).astype(jnp.uint8))(out)
+    img = np.asarray(out)
     dt = time.time() - t0
     rays = config.rays_per_frame
     print(
