@@ -62,7 +62,7 @@ def replay_paths(camera, config: RenderConfig, pixel_ids, sample_ids,
     Scene cotangents flow exclusively through `tbl` (built by the
     caller from the scene; there is no separate scene argument).
 
-    res_db: int32 [max_depth, K] winner sphere index per bounce (-1 miss);
+    res_db: int16/int32 [max_depth, K] winner sphere index per bounce (-1 miss);
     indices refer to rows of `tbl` (`core.geometry.sphere_table`, in the
     kernel's possibly cluster-permuted sphere order).  RNG counters are identical
     to the forward kernel's, so the replayed path IS the sampled path.
@@ -91,8 +91,10 @@ def replay_paths(camera, config: RenderConfig, pixel_ids, sample_ids,
     def body(carry, xs):
         if res2_db is not None:
             bounce_idx, sidx, sidx2 = xs
+            sidx2 = sidx2.astype(jnp.int32)
         else:
             bounce_idx, sidx = xs
+        sidx = sidx.astype(jnp.int32)  # residuals may arrive int16 (r5)
         ray, throughput, radiance, alive = carry
         o, d = ray.origin, ray.dir
         hit = (sidx >= 0) & alive

@@ -863,12 +863,15 @@ def render_mxu_lanes(
         s_pad = plan.n_clusters * plan.cluster_size
     else:
         if not sphere_chunk:
-            # Auto: one fused chunk sized to the scene (128-row MXU/VPU
-            # granularity), capped at SPHERE_CHUNK.  A small scene must
-            # not pay the flagship scene's sweep width: 197 reference-
-            # scene spheres at the fixed sc=512 swept 61%% dud rows.
+            # Auto: one fused chunk sized to the scene at Mosaic's 8-row
+            # sublane granularity (r5; the r4 auto used 128-row rounding,
+            # which padded the 197-sphere reference scene to 256 — 23%
+            # dud rows.  200 measured +8.6% over 256 on that scene:
+            # tools/ref_probe.py), capped at SPHERE_CHUNK.  Chunking only
+            # reorders the packed-key min, so results are bit-identical
+            # at any granularity.
             sphere_chunk = min(SPHERE_CHUNK,
-                               max(-(-scene.count // 128), 1) * 128)
+                               max(-(-scene.count // 8), 1) * 8)
         s_pad = max(-(-scene.count // sphere_chunk), 1) * sphere_chunk
 
     p_lanes = pid_grid.shape[0] * 128

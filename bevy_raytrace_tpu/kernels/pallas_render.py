@@ -131,6 +131,7 @@ def _make_kernel(
     with_residuals: bool = False,
     record_second: bool = False,
     sample_base: int = 0,
+    res_dtype=jnp.int16,
 ):
     if with_residuals and skip_dead:
         raise ValueError("with_residuals requires the plain schedule")
@@ -181,8 +182,13 @@ def _make_kernel(
         shape = (tile_rows, 128)
         row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
         lane = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+        # seed_ref[1] is the TRACED absolute pixel base (0 unsharded): a
+        # shard_map stripe offsets every pid by rank*local so RNG counters
+        # and px/py stay absolute — stripes compose bit-exactly (r5, the
+        # sharded fast-gradient path).
         pid = (
-            tile.astype(jnp.uint32) * np.uint32(tile_rows * 128)
+            seed_ref[1]
+            + tile.astype(jnp.uint32) * np.uint32(tile_rows * 128)
             + row * np.uint32(128)
             + lane
         )
@@ -396,15 +402,20 @@ def _make_kernel(
                 # Per-bounce winner sphere index (-1 = miss/dead): the
                 # residual that lets the backward replay skip the sphere
                 # sweep entirely (see inverse/fast_grad.py).  Dead lanes
-                # record -1 so the replay treats them as misses.
-                rec = jnp.where(hit & alive, bidx, -1.0).astype(jnp.int32)
+                # record -1 so the replay treats them as misses.  Stored
+                # int16 when the slot count fits (r5): winner indices are
+                # capped well below 2^15, and halving the checkpoint is
+                # what lets the FULL 256-spp flagship record unchunked
+                # (~3.9 GB) instead of re-rendering spp chunks.
+                rec = (jnp.where(hit & alive, bidx, -1.0)
+                       .astype(jnp.int32).astype(res_dtype))
                 r0 = bounce_static * tile_rows
                 res_ref[0, r0:r0 + tile_rows, :] = rec
             if record_second:
                 bt2, bidx2 = second
                 hit2 = bt2 < t_max
-                rec2 = jnp.where(hit & hit2 & alive, bidx2,
-                                 -1.0).astype(jnp.int32)
+                rec2 = (jnp.where(hit & hit2 & alive, bidx2, -1.0)
+                        .astype(jnp.int32).astype(res_dtype))
                 res2_ref[0, r0:r0 + tile_rows, :] = rec2
             t_safe = jnp.where(hit, bt, 0.0)
             hx = ox + t_safe * dx
@@ -587,6 +598,8 @@ def render_pallas(
     with_residuals: bool = False,
     record_second: bool = False,
     sample_base: int = 0,
+    pixel_base=None,
+    num_local: int | None = None,
 ):
     """Drop-in replacement for wavefront.render on the forward path.
 
@@ -595,11 +608,15 @@ def render_pallas(
     samples draw in one full-spp render (spp-chunked gradient recording).
 
     `with_residuals=True` additionally returns the per-bounce winner
-    sphere index `res` int32 [spp, max_depth, H*W] (-1 = miss), the
+    sphere index `res` [spp, max_depth, H*W] (-1 = miss), the
     checkpoint that lets `inverse.fast_grad` replay paths for the
     backward pass without re-running the sphere sweep.  Indices refer to
     the kernel's (possibly cluster-permuted) sphere order; pass the same
-    `clusters` plan to the replay.
+    `clusters` plan to the replay.  Stored int16 when the padded slot
+    count fits 15 bits (always, in practice — the mxu kernel caps slots
+    at 1024), int32 otherwise: half-size residuals are what let the full
+    256-spp flagship frame record its checkpoint unchunked (VERDICT r4
+    item 3).
 
     `record_second=True` (requires with_residuals) appends a third
     output `res2` of the same shape: the runner-up sphere index (-1 when
@@ -614,9 +631,17 @@ def render_pallas(
     (tile-vs-cluster-bound broad phase + dynamic worklist) instead of the
     reference-style brute-force scan; results are identical up to
     nearest-hit tie order.
+
+    Stripe mode (r5, the sharded fast-gradient path): `num_local`
+    (static) renders only the contiguous `num_local`-pixel stripe
+    starting at absolute pixel `pixel_base` (traced — e.g. a shard_map
+    rank * stripe).  RNG counters and pixel coords use absolute ids, so
+    stripes compose bit-exactly with the full render.  Returns the FLAT
+    [num_local, 3] stripe (no H x W reshape) and stripe-local residuals.
     """
     n = scene.count
     num_pixels = config.num_pixels
+    stripe = num_local is not None
     if num_pixels >= (1 << 24):
         # Pixel coords derive from f32 pid math in-kernel (exact below
         # 2^24); an 8K-class framebuffer would corrupt silently — shard
@@ -628,7 +653,8 @@ def render_pallas(
     if tile_rows is None:
         tile_rows = TILE_ROWS if clusters is None else CLUSTERED_TILE_ROWS
     tile_px = tile_rows * 128
-    n_tiles = -(-num_pixels // tile_px)
+    npix = num_local if stripe else num_pixels
+    n_tiles = -(-npix // tile_px)
     p_pad = n_tiles * tile_px
 
     # Scene -> SMEM layouts.  inv_r keeps the sign of the radius (negative
@@ -688,8 +714,13 @@ def render_pallas(
         seed = np.uint32(config.seed) + np.uint32(FRAME_MIX) * (
             np.uint32(frame) if isinstance(frame, int) else frame.astype(jnp.uint32)
         )
-    seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1)
+    base = 0 if pixel_base is None else pixel_base
+    seed_arr = jnp.stack([
+        jnp.asarray(seed, jnp.uint32).reshape(()),
+        jnp.asarray(base).astype(jnp.uint32).reshape(()),
+    ])
 
+    res_dtype = jnp.int16 if n_pad <= 32767 else jnp.int32
     kernel = _make_kernel(
         config,
         n_pad,
@@ -701,6 +732,7 @@ def render_pallas(
         with_residuals=with_residuals,
         record_second=record_second,
         sample_base=sample_base,
+        res_dtype=res_dtype,
     )
     out_shape = jax.ShapeDtypeStruct((p_pad // 128, 128), jnp.float32)
     fb_spec = pl.BlockSpec(
@@ -723,7 +755,7 @@ def render_pallas(
             memory_space=pltpu.VMEM)
         res_shape = jax.ShapeDtypeStruct(
             (config.samples_per_pixel, depth * (p_pad // 128), 128),
-            jnp.int32)
+            res_dtype)
         out_specs.append(res_spec)
         out_shapes.append(res_shape)
         if record_second:
@@ -755,8 +787,8 @@ def render_pallas(
     fb = jnp.stack(
         [fb_r.reshape(-1), fb_g.reshape(-1), fb_b.reshape(-1)], axis=-1
     )
-    fb = fb[:num_pixels] / np.float32(config.samples_per_pixel)
-    img = fb.reshape(config.height, config.width, 3)
+    fb = fb[:npix] / np.float32(config.samples_per_pixel)
+    img = fb if stripe else fb.reshape(config.height, config.width, 3)
     if not with_residuals:
         return img
 

@@ -94,7 +94,10 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
 
         row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
         lane = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-        pid = (tile.astype(jnp.uint32) * np.uint32(r_lanes)
+        # seed_ref[1]: traced absolute pixel base (0 unsharded) — must
+        # match the recording forward's base so the replayed pid (RNG
+        # counters + pixel coords) is the recorded pid (r5 sharding).
+        pid = (seed_ref[1] + tile.astype(jnp.uint32) * np.uint32(r_lanes)
                + row * np.uint32(128) + lane)
         pid_f = pid.astype(jnp.int32).astype(jnp.float32)
         py = jnp.floor(pid_f / width)
@@ -125,8 +128,14 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
         hits = []
         attrs = []
         bg = []  # (hit2, albedo2) per bounce — two-sided boundary term
+        # One whole-block load + int32 upcast (residuals arrive int16
+        # when the slot count fits 15 bits — r5 checkpoint halving);
+        # per-bounce rows are then static value-level slices, so the
+        # packed 16-bit sublane tiling never sees an unaligned ref slice.
+        res_all = res_ref[0].astype(jnp.int32)
+        res2_all = res2_ref[0].astype(jnp.int32) if with_second else None
         for b in range(depth):
-            rec = res_ref[0, b * tile_rows:(b + 1) * tile_rows, :]
+            rec = res_all[b * tile_rows:(b + 1) * tile_rows, :]
             hits.append(rec >= 0)
             onehot, g16 = gather(rec)
             onehots.append(onehot)
@@ -135,7 +144,7 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                 # Runner-up gather; constants w.r.t. the VJP (the oracle
                 # stop_gradients albedo2 — only visibility drives the
                 # boundary term, not the revealed surface's shading).
-                rec2 = res2_ref[0, b * tile_rows:(b + 1) * tile_rows, :]
+                rec2 = res2_all[b * tile_rows:(b + 1) * tile_rows, :]
                 _, g16b = gather(rec2)
                 bg.append((rec2 >= 0, g16b[4], g16b[5], g16b[6]))
 
@@ -395,22 +404,33 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
 
 def replay_grad(table, camera, config: RenderConfig, res, g, frame=0,
                 interpret: bool = False, tile_rows: int = TILE_ROWS,
-                sample_base: int = 0, res2=None):
+                sample_base: int = 0, res2=None, pixel_base=None,
+                num_local: int | None = None):
     """Cotangents of the recorded render w.r.t. the sphere table + camera.
 
     Args:
       table: [S, 11] `core.geometry.sphere_table` rows in the SAME sphere
         order the residual indices refer to (cluster-permuted when the
         forward ran with a plan).
-      res: int32 [spp, max_depth, P] residuals from the forward kernel
-        (P >= num_pixels; padding lanes are ignored via zero cotangents).
+      res: int16/int32 [spp, max_depth, P] residuals from the forward
+        kernel (P >= num_pixels; padding lanes are ignored via zero
+        cotangents).  int16 is the default recording dtype (r5): it
+        halves the checkpoint, letting the full 256-spp flagship record
+        unchunked.
       g: [H, W, 3] cotangent of the IMAGE (the mean over samples: the
-        kernel folds the 1/spp factor in).
+        kernel folds the 1/spp factor in).  In stripe mode the flat
+        [num_local, 3] stripe cotangent.
+
+    Stripe mode (r5, sharded gradients): `num_local`/`pixel_base` must
+    match the recording forward's stripe (render_pallas stripe mode);
+    the returned cotangents are that stripe's partials — psum them over
+    the mesh (shard_map's transpose of replicated inputs does this
+    automatically in inverse/shard_grad.py).
 
     Returns (d_table [S, 11] f32, d_cam [16] f32); d_cam packs
     [origin(3), u(3), v(3), w(3), half_w, half_h, lens_r, focus_dist].
     """
-    num_pixels = config.num_pixels
+    num_pixels = num_local if num_local is not None else config.num_pixels
     depth = config.max_depth
     spp = config.samples_per_pixel
     tile_px = tile_rows * 128
@@ -439,7 +459,11 @@ def replay_grad(table, camera, config: RenderConfig, res, g, frame=0,
         seed = np.uint32(config.seed) + np.uint32(FRAME_MIX) * (
             np.uint32(frame) if isinstance(frame, int)
             else frame.astype(jnp.uint32))
-    seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1)
+    base = 0 if pixel_base is None else pixel_base
+    seed_arr = jnp.stack([
+        jnp.asarray(seed, jnp.uint32).reshape(()),
+        jnp.asarray(base).astype(jnp.uint32).reshape(()),
+    ])
 
     if config.edge_softness > 0.0 and res2 is None:
         raise ValueError(
@@ -449,12 +473,13 @@ def replay_grad(table, camera, config: RenderConfig, res, g, frame=0,
     def to_raw(r):
         # Residuals [spp, depth, P] -> the forward kernel's raw row
         # layout (tile-major, bounce within tile):
-        # [spp, n_tiles*depth*tile_rows, 128].
+        # [spp, n_tiles*depth*tile_rows, 128].  dtype (int16/int32)
+        # passes through; the kernel upcasts after the block load.
         rp = r[:, :, :num_pixels]
         if p_pad != num_pixels:
             rp = jnp.concatenate([
                 rp,
-                jnp.full((spp, depth, p_pad - num_pixels), -1, jnp.int32),
+                jnp.full((spp, depth, p_pad - num_pixels), -1, r.dtype),
             ], axis=2)
         raw = rp.reshape(spp, depth, n_tiles, tile_rows, 128)
         return jnp.swapaxes(raw, 1, 2).reshape(
