@@ -163,7 +163,9 @@ def _make_step(config, args, scene=None):
         # `/root/reference/src/ray_trace_node.rs:204-220`.
         from bevy_raytrace_tpu.wavefront.engine import Renderer
 
-        renderer = Renderer(config, backend="mxu", interpret=interpret)
+        renderer = Renderer(
+            config, backend="mxu", interpret=interpret,
+            replan_interval=getattr(args, "replan_interval", 0))
 
         def fn(scene, camera, config_, frame):
             renderer.frame = frame
@@ -360,6 +362,11 @@ def main(argv=None):
     pa = sub.add_parser("animate", help="render an orbit sequence")
     _add_render_args(pa)
     pa.add_argument("--frames", type=int, default=8)
+    pa.add_argument(
+        "--replan-interval", type=int, default=8,
+        help="mxu backend: re-probe the cost-balancing permutation every "
+             "N frames so scheduling tracks the orbiting camera (0 = "
+             "probe once on frame 0 and never again)")
     pa.set_defaults(fn=cmd_animate)
 
     pi = sub.add_parser("inverse", help="inverse-rendering recovery demo")

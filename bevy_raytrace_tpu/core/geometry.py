@@ -184,6 +184,15 @@ def intersect_scene_fused(ray: Ray, scene: Scene, t_min: float, t_max: float,
     silhouette boundary term uses as the background radiance estimate
     (VERDICT r3 item 3; one extra argmin over the already-computed [R,N]
     t matrix plus one gather).
+
+    Tie semantics vs the v1 kernel (ADVICE r4): this path excludes the
+    winner by COLUMN INDEX, so a distinct sphere at exactly the winner's
+    t still qualifies as runner-up; the fused kernel
+    (`kernels/pallas_render.py`) excludes exact t-TIES instead (so a
+    cluster-pad duplicate of the winner can never become its own twin's
+    "background").  The two runner-ups differ only on exact-tie
+    geometry — measure-zero, gradient-only (the boundary term is itself
+    an O(edge_softness) estimate there).
     """
     o = ray.origin  # [R,3]
     d = ray.dir  # [R,3]

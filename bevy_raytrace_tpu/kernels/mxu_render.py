@@ -863,15 +863,23 @@ def render_mxu_lanes(
         s_pad = plan.n_clusters * plan.cluster_size
     else:
         if not sphere_chunk:
-            # Auto: one fused chunk sized to the scene at Mosaic's 8-row
-            # sublane granularity (r5; the r4 auto used 128-row rounding,
-            # which padded the 197-sphere reference scene to 256 — 23%
-            # dud rows.  200 measured +8.6% over 256 on that scene:
-            # tools/ref_probe.py), capped at SPHERE_CHUNK.  Chunking only
-            # reorders the packed-key min, so results are bit-identical
-            # at any granularity.
+            # Auto: one fused chunk sized to the scene.  Two candidate
+            # granularities (r5, both measured on v5e):
+            #   8-row  (Mosaic sublane min) — fewest dud rows, but a
+            #          non-128 chunk costs ~12% in sweep/gather layout
+            #          (488 measured 8% SLOWER than 512 on the 486-
+            #          sphere flagship despite 4.7% fewer rows);
+            #   128-row — alignment-clean, but pads small scenes hard
+            #          (197 -> 256 = 23% dud rows; 200 measured +8.6%
+            #          over 256 on the reference scene, ref_probe.py).
+            # Pick 8-row only when it saves >= 15% of the rows — the
+            # measured break-even of the alignment penalty.  Chunking
+            # only reorders the packed-key min, so results are
+            # bit-identical at any granularity.
+            cand8 = max(-(-scene.count // 8), 1) * 8
+            cand128 = max(-(-scene.count // 128), 1) * 128
             sphere_chunk = min(SPHERE_CHUNK,
-                               max(-(-scene.count // 8), 1) * 8)
+                               cand8 if cand8 <= 0.85 * cand128 else cand128)
         s_pad = max(-(-scene.count // sphere_chunk), 1) * sphere_chunk
 
     p_lanes = pid_grid.shape[0] * 128

@@ -153,3 +153,49 @@ def test_renderer_mxu_frame0_rest_pass():
     img0 = np.asarray(r.render_frame(scene, cam))
     ref0 = np.asarray(render_mxu_balanced(scene, cam, cfg, 0, interpret=True))
     np.testing.assert_array_equal(img0, ref0)
+
+
+def test_renderer_mxu_auto_replan_interval():
+    """replan_interval=N re-probes every N frames (VERDICT r4 item 4):
+    the cached permutation is replaced on schedule, probe frames stay
+    allclose to the plain kernel (probe-blend accumulation), cached
+    frames stay bit-exact."""
+    from bevy_raytrace_tpu.kernels.mxu_render import render_mxu
+
+    scene, cam = _scene_cam()
+    r = Renderer(CFG, backend="mxu", interpret=True, replan_interval=2)
+
+    def step(i):
+        img = np.asarray(r.render_frame(scene, cam))
+        ref = np.asarray(render_mxu(scene, cam, CFG, i, interpret=True))
+        return img, ref
+
+    img0, ref0 = step(0)  # probe frame -> caches perm (age 1)
+    np.testing.assert_allclose(img0, ref0, atol=2e-4)
+    perm0 = r._perm
+    assert perm0 is not None
+
+    img1, ref1 = step(1)  # cached (age 2): bit-exact
+    np.testing.assert_array_equal(img1, ref1)
+    assert r._perm is perm0
+
+    img2, ref2 = step(2)  # age hit the interval -> re-probe
+    np.testing.assert_allclose(img2, ref2, atol=2e-4)
+    assert r._perm is not None and r._perm is not perm0
+    perm2 = r._perm
+
+    img3, ref3 = step(3)  # cached again
+    np.testing.assert_array_equal(img3, ref3)
+    assert r._perm is perm2
+
+
+def test_renderer_mxu_replan_interval_off_by_default():
+    """replan_interval=0 (default): probe once, never again — the prior
+    sessions' semantics are unchanged."""
+    scene, cam = _scene_cam()
+    r = Renderer(CFG, backend="mxu", interpret=True)
+    r.render_frame(scene, cam)
+    perm0 = r._perm
+    for _ in range(3):
+        r.render_frame(scene, cam)
+    assert r._perm is perm0

@@ -104,21 +104,40 @@ def test_ray_chunking_is_exact():
     np.testing.assert_array_equal(full, chunked)
 
 
-def test_ray_chunk_nondividing_shard_rounds_down_with_warning():
+def test_ray_chunk_nondividing_shard_picks_closest_divisor():
     """RenderConfig validates ray_chunk against the FULL image, but a
     sharded caller hands render_pixel_range a slice; a slice size the
-    chunk does not divide must round DOWN to a divisor (bounding memory
-    as requested) and warn — not silently materialize the full
-    [rays, spheres] workspace (VERDICT r3 weak #6)."""
+    chunk does not divide must pick the divisor with the closest work
+    ratio and warn — not silently materialize the full [rays, spheres]
+    workspace (VERDICT r3 weak #6) and not degenerate to ray_chunk=1
+    for awkward sizes (ADVICE r4)."""
     from bevy_raytrace_tpu.wavefront.render import render_pixel_range
 
     scene, _ = baseline_config1_scene()
     cam = baseline_config1_camera(CFG_TINY.aspect)
     cfg = CFG_TINY.replace(ray_chunk=240)  # divides 960, not 320
     full = _render(scene, cam, cfg)
-    with pytest.warns(UserWarning, match="largest divisor"):
+    with pytest.warns(UserWarning, match="closest divisor"):
         part = render_pixel_range(scene, cam, cfg, 0, 320, 0)
     np.testing.assert_array_equal(full.reshape(-1, 3)[:320],
+                                  np.asarray(part))
+
+
+def test_ray_chunk_prime_shard_does_not_degenerate():
+    """A prime slice size has only divisors {1, n}; the closest-ratio
+    rule must choose the full width (a bounded memory overshoot, loudly
+    warned) over a scan of n single-ray steps."""
+    import warnings as _warnings
+
+    from bevy_raytrace_tpu.wavefront.render import render_pixel_range
+
+    scene, _ = baseline_config1_scene()
+    cam = baseline_config1_camera(CFG_TINY.aspect)
+    cfg = CFG_TINY.replace(ray_chunk=240)
+    full = _render(scene, cam, cfg)
+    with pytest.warns(UserWarning, match="larger than requested"):
+        part = render_pixel_range(scene, cam, cfg, 0, 311, 0)  # prime
+    np.testing.assert_array_equal(full.reshape(-1, 3)[:311],
                                   np.asarray(part))
 
 
