@@ -308,14 +308,34 @@ def cmd_inverse(args):
     # --backend xla: differentiate the XLA wavefront (sweep paid in both
     # directions).  --backend pallas/mxu: the residual-replay fast path —
     # Pallas fused forward recording per-bounce winners, backward replays
-    # them with no sphere sweep (inverse/fast_grad.py).
+    # them with no sphere sweep (inverse/fast_grad.py).  --sharded
+    # composes with both: pixels stripe over the device mesh, scene and
+    # camera cotangents psum (the fast form records + replays per stripe
+    # — inverse/shard_grad.py, r5).
     render_fn = None
-    if getattr(args, "backend", "xla") != "xla":
+    backend = getattr(args, "backend", "xla")
+    interpret = (getattr(args, "interpret", False)
+                 or jax.default_backend() != "tpu")
+    if getattr(args, "sharded", False):
+        from bevy_raytrace_tpu.shard import make_mesh
+
+        mesh = make_mesh()
+        print(f"mesh: {mesh}", file=sys.stderr)
+        if backend != "xla":
+            from bevy_raytrace_tpu.inverse import make_fast_renderer_sharded
+
+            fast = make_fast_renderer_sharded(opt_config, mesh,
+                                              interpret=interpret)
+            render_fn = lambda sc, cam, cfg, fr: fast(sc, cam, fr)  # noqa: E731
+        else:
+            from bevy_raytrace_tpu.shard import render_sharded
+
+            render_fn = (lambda sc, cam, cfg, fr:  # noqa: E731
+                         render_sharded(sc, cam, cfg, mesh, fr))
+    elif backend != "xla":
         from bevy_raytrace_tpu.inverse import make_fast_renderer
 
-        fast = make_fast_renderer(
-            opt_config, interpret=(getattr(args, "interpret", False)
-                                   or jax.default_backend() != "tpu"))
+        fast = make_fast_renderer(opt_config, interpret=interpret)
         render_fn = lambda sc, cam, cfg, fr: fast(sc, cam, fr)  # noqa: E731
 
     target = jax.jit(render, static_argnums=2)(scene_true, camera, config, 9999)

@@ -152,6 +152,21 @@ def test_inverse_fast_backend(tmp_path, capsys):
     assert "loss" in cap.err and os.path.exists(out)
 
 
+def test_inverse_sharded_fast_backend(tmp_path, capsys):
+    """cli inverse --sharded --backend mxu drives the SHARDED fast path
+    (inverse/shard_grad.py, r5): recording forward + fused replay
+    backward per device stripe, cotangents psum'd over the virtual
+    8-device mesh."""
+    out = str(tmp_path / "rec.png")
+    cli.main([
+        "inverse", "--width", "48", "--height", "32", "--spp", "1",
+        "--depth", "2", "--steps", "2", "--sharded", "--backend", "mxu",
+        "-o", out,
+    ])
+    cap = capsys.readouterr()
+    assert "mesh" in cap.err and "loss" in cap.err and os.path.exists(out)
+
+
 def test_render_sharded_pallas_rejected():
     """--sharded --backend pallas has no implementation: reject loudly
     instead of silently falling back to the XLA wavefront."""
