@@ -55,7 +55,17 @@ class RenderConfig:
         BOTH sky and occluded backgrounds (the r3 one-sided sky-completion
         form measurably flipped sign against occluders: g_fd -0.43 vs
         g_ad +0.035 on the edge-over-sphere fixture; two-sided: -0.15).
-        See inverse/ and SURVEY.md §7 "hard parts".
+        Measured bias envelope by background material (r5): Lambertian
+        ratio |g_ad/g_fd| ~ 0.35 sign-correct; METAL ~ 0.18-0.20
+        sign-correct (a mirror over this sky mostly reflects sky, so
+        albedo2 * sky stays a proxy); DIELECTRIC is the known failure -
+        glass stores albedo (1,1,1) so the estimate degenerates to the
+        sky while the true revealed radiance is the darker REFRACTED
+        scene behind the glass: measured g_ad +0.03 vs g_fd -0.23
+        (wrong sign, ~7x too small; pinned in test_silhouette.py's
+        dielectric known-bias test).  Edges specifically over glass
+        contribute a small biased term; interior gradients are never
+        affected.  See inverse/ and SURVEY.md §7 "hard parts".
     """
 
     width: int = 400

@@ -57,3 +57,9 @@ def test_two_process_distributed_render_bitexact():
         # backward all-reduce.
         assert "AUDIT ok fwd_collectives=0" in out, (
             f"proc {pid} output:\n{out}")
+        # VERDICT r4 item 5: a gradient step must actually RUN across
+        # the 2 processes (finite, psum-consistent cotangents) — both
+        # the XLA wavefront step and the sharded fast (Pallas
+        # record+replay) step.
+        assert "GRADRUN ok" in out, f"proc {pid} output:\n{out}"
+        assert "FASTGRAD ok" in out, f"proc {pid} output:\n{out}"

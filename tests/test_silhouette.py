@@ -119,3 +119,57 @@ def test_edge_softness_zero_off_silhouette_unbiased():
     g_soft = float(jax.jit(jax.grad(loss), static_argnums=1)(0.8, CFG_SOFT))
     g_hard = float(jax.jit(jax.grad(loss), static_argnums=1)(0.8, CFG_HARD))
     np.testing.assert_allclose(g_soft, g_hard, rtol=1e-3)
+
+
+def test_silhouette_gradient_against_metal_occluder():
+    """Edge over a METAL sphere (VERDICT r4 item 6): the `albedo2 * sky`
+    background estimate is roughest on non-Lambertian backgrounds; for
+    metal it remains a usable proxy because a mirror over this scene
+    mostly reflects sky.  Measured 2026-08-21: polished g_ad -0.068 vs
+    g_fd -0.382 (ratio 0.18); fuzz=0.4 g_ad -0.076 vs g_fd -0.374
+    (ratio 0.20).  Sign correct, same envelope as the Lambertian case."""
+    for fuzz in (0.0, 0.4):
+        reg = MaterialRegistry()
+        g = reg.lambertian("ground", (0.5, 0.5, 0.5))
+        mb = reg.metallic("back", (0.8, 0.7, 0.3), fuzz)
+        ma = reg.lambertian("front", (0.8, 0.3, 0.1))
+        scene = _build([
+            ((0.0, -100.5, -1.0), 100.0, g),
+            ((0.0, 0.0, -2.0), 0.6, mb),
+            ((0.35, 0.05, -1.0), 0.25, ma),
+        ], reg)
+        g_ad, g_fd = _grad_and_fd(scene, 2, (slice(8, 24), slice(30, 52)))
+        assert abs(g_fd) > 0.2, f"fixture lost its edge (g_fd={g_fd})"
+        assert np.sign(g_ad) == np.sign(g_fd), (fuzz, g_ad, g_fd)
+        ratio = abs(g_ad) / abs(g_fd)
+        assert 0.1 < ratio < 3.0, (fuzz, g_ad, g_fd)
+
+
+def test_silhouette_gradient_against_dielectric_occluder_known_bias():
+    """Edge over a DIELECTRIC sphere: the boundary estimate's DOCUMENTED
+    failure mode (VERDICT r4 item 6).  A glass runner-up stores albedo
+    (1,1,1), so `albedo2 * sky` degenerates to the sky — but the true
+    revealed radiance is the darker REFRACTED scene behind the glass
+    (here: the gray ground), which one recorded bounce cannot see.
+    Measured 2026-08-21: g_ad +0.033 vs g_fd -0.230 — wrong sign, ~7x
+    too small, the same failure shape the one-sided estimate had against
+    any occluder (r3).  Fixing it would need a second-bounce residual
+    through the runner-up (a recorded transmission chain), which is out
+    of proportion for an O(edge_softness) correction term; the envelope
+    is documented in RenderConfig.edge_softness instead.  This test pins
+    the measured bias so an (intentional) estimator change surfaces."""
+    reg = MaterialRegistry()
+    g = reg.lambertian("ground", (0.5, 0.5, 0.5))
+    mb = reg.dielectric("back", 1.5)
+    ma = reg.lambertian("front", (0.8, 0.3, 0.1))
+    scene = _build([
+        ((0.0, -100.5, -1.0), 100.0, g),
+        ((0.0, 0.0, -2.0), 0.6, mb),
+        ((0.35, 0.05, -1.0), 0.25, ma),
+    ], reg)
+    g_ad, g_fd = _grad_and_fd(scene, 2, (slice(8, 24), slice(30, 52)))
+    assert g_fd < -0.2, f"fixture lost its edge (g_fd={g_fd})"
+    # The known bias: small magnitude, possibly wrong sign.  What must
+    # NOT happen is a large-magnitude wrong-sign gradient (that would
+    # actively fight descent at scale).
+    assert abs(g_ad) < 0.5 * abs(g_fd), (g_ad, g_fd)

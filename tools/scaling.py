@@ -331,7 +331,8 @@ def main():
             text=True, env=env, cwd=repo) for pid in range(2)]
         outs = [p.communicate(timeout=300)[0] for p in procs]
         ok = all(p.returncode == 0 for p in procs) and all(
-            "AUDIT ok fwd_collectives=0" in o for o in outs)
+            "AUDIT ok fwd_collectives=0" in o
+            and "GRADRUN ok" in o and "FASTGRAD ok" in o for o in outs)
         bwd_b = None
         m = _re.search(r"bwd_bytes=(\d+)", outs[0])
         if m:
