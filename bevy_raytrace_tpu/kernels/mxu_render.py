@@ -325,7 +325,11 @@ def _make_kernel(config: RenderConfig, s_pad: int, tile_rows: int,
                 # ulp on the 13-bit packed key (the winner's t is
                 # recomputed exactly afterwards); disc == 0 maps to
                 # 0 * inf = NaN -> miss, a measure-zero true-tangency.
-                # NaN on miss (disc < 0) as before.
+                # (ADVICE r4 asked about gating it: the one-select guard
+                # `where(disc == 0, 0, ...)` was measured r5 at -3.8%
+                # flagship / -1.5% reference -- NOT free; the documented
+                # NaN->miss behavior ships.)  NaN on miss (disc < 0) as
+                # before.
                 sq = disc * jax.lax.rsqrt(disc)
                 rn = -hb - sq
                 rf = sq - hb
