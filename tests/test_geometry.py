@@ -150,3 +150,39 @@ def test_gather_rows_transpose_matches_scatter_add():
     # bug this guards against) errs at ~4e-3 relative — 3 orders larger.
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_gather_rows_chunked_transpose_matches_unchunked():
+    """The one-hot transpose's chunk budget (BRT_ONEHOT_CHUNK_MB /
+    set_onehot_chunk_mb, r5 config hook) changes only the f32 summation
+    grouping: cotangents must match the unchunked result to tolerance,
+    and the hook must validate its argument."""
+    import jax
+    import pytest as _pytest
+
+    from bevy_raytrace_tpu.core import geometry
+    from bevy_raytrace_tpu.core.geometry import gather_rows, set_onehot_chunk_mb
+
+    rng = np.random.default_rng(3)
+    tbl = jnp.asarray(rng.normal(size=(13, 11)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 13, size=4096).astype(np.int32))
+    w = jnp.asarray(rng.normal(size=(4096, 11)).astype(np.float32))
+
+    def g():
+        return jax.grad(lambda t: jnp.sum(gather_rows(t, idx) * w))(tbl)
+
+    saved = geometry._ONEHOT_ELEMS
+    try:
+        g_big = np.asarray(g())
+        geometry._ONEHOT_ELEMS = 13 * 128  # force many chunks
+        g_small = np.asarray(g())
+    finally:
+        geometry._ONEHOT_ELEMS = saved
+    # chunking only regroups the f32 accumulation
+    np.testing.assert_allclose(g_small, g_big, rtol=1e-5, atol=1e-5)
+
+    set_onehot_chunk_mb(64)
+    assert geometry._ONEHOT_ELEMS == 64 * 1024 * 1024 // 2
+    geometry._ONEHOT_ELEMS = saved
+    with _pytest.raises(ValueError, match="positive"):
+        set_onehot_chunk_mb(0)
