@@ -13,6 +13,7 @@ Usage:
     python -m bevy_raytrace_tpu.cli render  --scene reference --width 1920 \
         --height 1080 --spp 1 --depth 3 -o frame.png
     python -m bevy_raytrace_tpu.cli animate --frames 24 -o frames/
+    python -m bevy_raytrace_tpu.cli serve   --spp 4    # live fly-camera viewer
     python -m bevy_raytrace_tpu.cli inverse --steps 200 -o recovered.png
 """
 
@@ -290,6 +291,128 @@ def cmd_animate(args):
     print(args.output)
 
 
+_SERVE_PAGE = """<!DOCTYPE html>
+<html><head><title>bevy_raytrace_tpu</title><style>
+body {{ background: #111; color: #ccc; font: 13px monospace; margin: 0; }}
+#v {{ display: block; margin: 8px auto; image-rendering: pixelated; }}
+#hud {{ text-align: center; }}
+</style></head><body>
+<img id="v" width="{w2}" height="{h2}">
+<div id="hud">WASD / arrows: orbit+dolly &nbsp; QE: pitch &nbsp;
+Esc: quit server</div>
+<script>
+let yaw = {yaw}, pitch = {pitch}, dist = {dist}, busy = false, dirty = true;
+async function refresh() {{
+  if (busy) {{ dirty = true; return; }}
+  busy = true; dirty = false;
+  const r = await fetch(`/frame.png?yaw=${{yaw}}&pitch=${{pitch}}&dist=${{dist}}`);
+  const b = await r.blob();
+  document.getElementById('v').src = URL.createObjectURL(b);
+  busy = false;
+  if (dirty) refresh();
+}}
+document.addEventListener('keydown', (e) => {{
+  const s = 0.15;
+  if (e.key === 'a' || e.key === 'ArrowLeft') yaw -= s;
+  else if (e.key === 'd' || e.key === 'ArrowRight') yaw += s;
+  else if (e.key === 'w' || e.key === 'ArrowUp') dist = Math.max(2, dist - 1);
+  else if (e.key === 's' || e.key === 'ArrowDown') dist += 1;
+  else if (e.key === 'q') pitch = Math.min(1.3, pitch + s);
+  else if (e.key === 'e') pitch = Math.max(-1.3, pitch - s);
+  else if (e.key === 'Escape') {{ fetch('/quit', {{method: 'POST'}}); return; }}
+  else return;
+  refresh();
+}});
+refresh();
+</script></body></html>"""
+
+
+def cmd_serve(args):
+    """Live interactive viewer over HTTP — the headless-compatible analog
+    of the reference's windowed session (`src/lib.rs:28-48`): the browser
+    page stands in for the presentation sprite
+    (`src/ray_trace_output.rs:65-77`), WASD/arrow keys fly the camera
+    (`src/camera.rs:39-77`) by re-rendering through the SAME jitted step
+    with a new camera pytree (zero recompilation, the per-frame re-upload
+    path), and Escape shuts the session down (`src/input.rs:15-26`).
+
+    Endpoints: GET / (viewer page), GET /frame.png?yaw=&pitch=&dist=
+    (one rendered frame), POST /quit (ESC).  Requests render serially
+    through one session Renderer, so the cost-map perm and jit cache are
+    reused across frames exactly as in `animate`."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from bevy_raytrace_tpu.core.camera import Camera
+    from bevy_raytrace_tpu.io import png_bytes, tonemap
+
+    config, scene, camera0, _ = _build(args)
+    step, extra = _make_step(config, args, scene)
+    state = {"frame": int(args.frame)}
+
+    def render_frame(yaw, pitch, dist):
+        cam = Camera.look_at(
+            lookfrom=(dist * np.cos(pitch) * np.cos(yaw),
+                      dist * np.sin(pitch) + 2.0,
+                      dist * np.cos(pitch) * np.sin(yaw)),
+            lookat=(0.0, 0.0, 0.0), vfov_deg=20.0, aspect=config.aspect,
+            aperture=args.aperture if args.aperture is not None else 0.0,
+            focus_dist=dist,
+        )
+        img = step(scene, cam, *extra, state["frame"])
+        state["frame"] += 1
+        return png_bytes(tonemap(np.asarray(img)))
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # quiet
+            print(f"serve: {fmt % a}", file=sys.stderr)
+
+        def _send(self, code, ctype, body):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            if u.path == "/":
+                page = _SERVE_PAGE.format(
+                    w2=config.width * 2, h2=config.height * 2,
+                    yaw=0.23, pitch=0.15, dist=13.0)
+                self._send(200, "text/html", page.encode())
+            elif u.path == "/frame.png":
+                q = parse_qs(u.query)
+
+                def f(name, default):
+                    try:
+                        return float(q[name][0])
+                    except (KeyError, ValueError, IndexError):
+                        return default
+
+                body = render_frame(f("yaw", 0.23), f("pitch", 0.15),
+                                    max(f("dist", 13.0), 1.0))
+                self._send(200, "image/png", body)
+            else:
+                self._send(404, "text/plain", b"not found")
+
+        def do_POST(self):
+            if self.path == "/quit":
+                self._send(200, "text/plain", b"bye")
+                threading.Thread(target=self.server.shutdown,
+                                 daemon=True).start()
+            else:
+                self._send(404, "text/plain", b"not found")
+
+    server = HTTPServer((args.host, args.port), Handler)
+    print(f"serving on http://{args.host}:{server.server_address[1]}/ "
+          f"(Esc in the page, or POST /quit, to stop)", file=sys.stderr)
+    print(f"{server.server_address[1]}", flush=True)  # tests read the port
+    server.serve_forever()
+    server.server_close()
+
+
 def cmd_inverse(args):
     """BASELINE config 4 demo: perturb the config1 scene, recover it."""
     import dataclasses
@@ -388,6 +511,14 @@ def main(argv=None):
              "N frames so scheduling tracks the orbiting camera (0 = "
              "probe once on frame 0 and never again)")
     pa.set_defaults(fn=cmd_animate)
+
+    ps = sub.add_parser(
+        "serve", help="live interactive viewer over HTTP (fly camera)")
+    _add_render_args(ps)
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=0,
+                    help="0 = pick a free port (printed to stdout)")
+    ps.set_defaults(fn=cmd_serve)
 
     pi = sub.add_parser("inverse", help="inverse-rendering recovery demo")
     _add_render_args(pi)

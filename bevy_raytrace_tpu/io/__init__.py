@@ -1,5 +1,6 @@
 from bevy_raytrace_tpu.io.image import (
     assemble_tiles,
+    png_bytes,
     tonemap,
     write_exr,
     write_image,
@@ -8,5 +9,5 @@ from bevy_raytrace_tpu.io.image import (
 )
 from bevy_raytrace_tpu.io.writer import FrameWriter
 
-__all__ = ["assemble_tiles", "tonemap", "write_png", "write_ppm",
+__all__ = ["assemble_tiles", "png_bytes", "tonemap", "write_png", "write_ppm",
            "write_exr", "write_image", "FrameWriter"]

@@ -55,7 +55,12 @@ def write_png(path: str, img) -> None:
     _write_png_py(path, rgb)
 
 
-def _write_png_py(path: str, rgb: np.ndarray) -> None:
+def png_bytes(img) -> bytes:
+    """Encode a linear float (or uint8) image as PNG bytes in memory
+    (stdlib zlib; the `cli serve` live-viewer path, where frames go to
+    an HTTP response instead of disk)."""
+    rgb = img if np.asarray(img).dtype == np.uint8 else tonemap(img)
+    rgb = np.ascontiguousarray(rgb, np.uint8)
     h, w, _ = rgb.shape
     raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
 
@@ -66,14 +71,17 @@ def _write_png_py(path: str, rgb: np.ndarray) -> None:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def _write_png_py(path: str, rgb: np.ndarray) -> None:
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(png_bytes(rgb))
 
 
 def write_ppm(path: str, img) -> None:

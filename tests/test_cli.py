@@ -176,3 +176,49 @@ def test_render_sharded_pallas_rejected():
             "32", "--spp", "1", "--depth", "2", "--sharded", "--backend",
             "pallas", "-o", "/tmp/never.png",
         ])
+
+
+def test_serve_live_viewer():
+    """cli serve: the headless-compatible interactive session (r5).  The
+    HTTP endpoints stand in for the reference's window/input layer:
+    GET / is the presentation page, GET /frame.png?yaw=... renders a
+    frame through the live session camera (the WASD fly-camera path),
+    POST /quit is ESC.  Runs the real server in-process (so the
+    conftest's CPU pinning applies) and drives it over HTTP."""
+    import socket
+    import threading
+    import time
+    import urllib.error
+    import urllib.request
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    t = threading.Thread(target=cli.main, args=([
+        "serve", "--scene", "config1", "--width", "64", "--height", "32",
+        "--spp", "1", "--depth", "2", "--port", str(port)],), daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    page = None
+    for _ in range(100):  # wait for the server to come up
+        try:
+            page = urllib.request.urlopen(f"{base}/", timeout=30).read()
+            break
+        except (urllib.error.URLError, ConnectionError):
+            time.sleep(0.1)
+    assert page is not None, "server never came up"
+    assert b"<html" in page and b"frame.png" in page
+    # Two different camera poses must both render valid PNGs.
+    p1 = urllib.request.urlopen(
+        f"{base}/frame.png?yaw=0.2&pitch=0.1&dist=13", timeout=600).read()
+    p2 = urllib.request.urlopen(
+        f"{base}/frame.png?yaw=1.2&pitch=0.1&dist=9", timeout=600).read()
+    assert p1[:8] == b"\x89PNG\r\n\x1a\n" and p2[:8] == p1[:8]
+    assert p1 != p2  # the camera really moved
+    r = urllib.request.urlopen(
+        urllib.request.Request(f"{base}/quit", method="POST"), timeout=60)
+    assert r.read() == b"bye"
+    t.join(timeout=60)
+    assert not t.is_alive(), "server did not shut down on /quit"
