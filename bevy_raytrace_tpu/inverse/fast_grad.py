@@ -271,7 +271,8 @@ def _camera_cotangent(camera, d_cam):
 
 def make_fast_renderer(config: RenderConfig, tile_rows=None, unroll=None,
                        clusters=None, interpret: bool = False, remat=None,
-                       backward: str = "kernel", grad_spp_chunk: int = 0):
+                       backward: str = "kernel", grad_spp_chunk: int = 0,
+                       forward: str = "pallas"):
     """A differentiable `render(scene, camera, frame) -> image` whose
     forward is the fused Pallas kernel and whose backward replays the
     recorded paths (no sphere sweep).
@@ -303,13 +304,30 @@ def make_fast_renderer(config: RenderConfig, tile_rows=None, unroll=None,
     render spread across the backward.  This is what makes full-spp
     flagship gradients (1200x800x256spp: a 7.9 GB residual checkpoint
     unchunked) fit in memory.
+
+    `forward`: "pallas" (default) records with the v1 per-sphere-loop
+    kernel (cluster-cullable, any scene size); "sweep" records with the
+    dense-sweep recorder (`kernels/sweep_record.py`, r5 — the v3
+    intersection machinery under an aligned-store schedule; <= 1024
+    sphere slots, no cluster plans).  Measured on the 486-sphere
+    flagship the sweep recorder is SLOWER (17.9M vs 24.7M paths/s —
+    straggler cost of the plain schedule; BENCHMARKS.md), so the
+    default stays "pallas"; the option remains for scene shapes where
+    the dense sweep wins.  The replay/backward is identical either way.
     """
     from bevy_raytrace_tpu.kernels.pallas_render import UNROLL, render_pallas
 
     if backward not in ("kernel", "xla"):
         raise ValueError(f"unknown backward {backward!r}")
+    if forward not in ("pallas", "sweep"):
+        raise ValueError(f"unknown forward {forward!r}")
     if unroll is None:
         unroll = UNROLL
+    if forward == "sweep" and clusters is not None:
+        raise ValueError(
+            "forward='sweep' records in the unpermuted scene order — "
+            "cluster plans do not apply (and are not needed: the dense "
+            "sweep outruns the culled scalar loop)")
     sphere_perm = None if clusters is None else clusters.perm
     record_second = config.edge_softness > 0.0
 
@@ -323,10 +341,17 @@ def make_fast_renderer(config: RenderConfig, tile_rows=None, unroll=None,
         return _make_chunked_renderer(
             config, tile_rows, unroll, clusters, interpret,
             record_second, sphere_perm, grad_spp_chunk)
-    fwd_kernel = functools.partial(
-        render_pallas, tile_rows=tile_rows, unroll=unroll,
-        clusters=clusters, with_residuals=True,
-        record_second=record_second, interpret=interpret)
+    if forward == "sweep":
+        from bevy_raytrace_tpu.kernels.sweep_record import render_sweep_record
+
+        fwd_kernel = functools.partial(
+            render_sweep_record, record_second=record_second,
+            interpret=interpret)
+    else:
+        fwd_kernel = functools.partial(
+            render_pallas, tile_rows=tile_rows, unroll=unroll,
+            clusters=clusters, with_residuals=True,
+            record_second=record_second, interpret=interpret)
 
     @jax.custom_vjp
     def render_fast(scene, camera, frame):

@@ -192,3 +192,56 @@ def test_fast_grads_rtiow_bulk_agreement():
     scale = _np.percentile(_np.abs(gx), 99)
     # Measured r3: trimmed max 1.3e-4 vs p99 1.4e-3 (ratio 0.095).
     assert trimmed.max() < 0.3 * scale, (trimmed.max(), scale)
+
+
+def test_sweep_recorder_forward_and_replay():
+    """The dense-sweep recorder (kernels/sweep_record.py, r5): its image
+    matches the XLA wavefront and its residual checkpoint is complete
+    (replay reconstructs the image), including the runner-up stream."""
+    scene, _ = baseline_config2_scene()
+    cam = baseline_config2_camera(CFG.aspect)
+    from bevy_raytrace_tpu.kernels.sweep_record import render_sweep_record
+
+    img, res = render_sweep_record(scene, cam, CFG, 0, interpret=True)
+    assert res.dtype == jnp.int16
+    ref = np.asarray(render(scene, cam, CFG, 0))
+    d = np.abs(np.asarray(img) - ref).max(axis=-1)
+    assert np.median(d) < 1e-5 and (d > 1e-2).mean() < 0.02
+    rep = replay_image(scene, cam, CFG, res, 0)
+    np.testing.assert_allclose(np.asarray(rep), np.asarray(img), atol=5e-5)
+
+    cfg2 = dataclasses.replace(CFG, edge_softness=0.01)
+    img2, res_b, res2 = render_sweep_record(scene, cam, cfg2, 0,
+                                            interpret=True,
+                                            record_second=True)
+    rep2 = replay_image(scene, cam, cfg2, res_b, 0, res2=res2)
+    np.testing.assert_allclose(np.asarray(rep2), np.asarray(img2),
+                               atol=5e-5)
+
+
+def test_sweep_recorder_grads_match_xla():
+    """make_fast_renderer(forward="sweep"): gradients through the sweep
+    recorder + fused replay backward match jax.grad of the XLA wavefront
+    (same contract as the v1 recorder)."""
+    scene, _ = baseline_config1_scene()
+    cam = baseline_config1_camera(CFG.aspect)
+    fast = make_fast_renderer(CFG, interpret=True, forward="sweep")
+    g_fast = _grads(lambda s, f: fast(s, cam, f), scene, CFG,
+                    ("centers", "radii", "albedo"))
+    g_xla = _grads(lambda s, f: render(s, cam, CFG, f), scene, CFG,
+                   ("centers", "radii", "albedo"))
+    for n in ("centers", "radii", "albedo"):
+        a, b = np.asarray(g_fast[n]), np.asarray(g_xla[n])
+        assert np.isfinite(a).all()
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=3e-4 * scale,
+                                   err_msg=f"param {n}")
+
+
+def test_sweep_recorder_rejects_clusters():
+    from bevy_raytrace_tpu.kernels import cluster_scene
+
+    scene, _ = baseline_config2_scene()
+    plan = cluster_scene(scene, cluster_size=6)
+    with np.testing.assert_raises(ValueError):
+        make_fast_renderer(CFG, clusters=plan, forward="sweep")
