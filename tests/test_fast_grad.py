@@ -245,3 +245,28 @@ def test_sweep_recorder_rejects_clusters():
     plan = cluster_scene(scene, cluster_size=6)
     with np.testing.assert_raises(ValueError):
         make_fast_renderer(CFG, clusters=plan, forward="sweep")
+
+
+def test_sweep_recorder_stripe_mode_composes():
+    """Stripe mode (pixel_base/num_local): a stripe's image and
+    residuals equal the corresponding slice of the full render (RNG
+    keys on absolute pixel ids), so the sharded composition holds for
+    the sweep recorder too."""
+    scene, _ = baseline_config2_scene()
+    cam = baseline_config2_camera(CFG.aspect)
+    from bevy_raytrace_tpu.kernels.sweep_record import render_sweep_record
+
+    img_full, res_full = render_sweep_record(scene, cam, CFG, 0,
+                                             interpret=True)
+    n = CFG.num_pixels
+    half = n // 2
+    flat_full = np.asarray(img_full).reshape(n, 3)
+    for base, local in ((0, half), (half, half)):
+        img_s, res_s = render_sweep_record(
+            scene, cam, CFG, 0, interpret=True,
+            pixel_base=jnp.uint32(base), num_local=local)
+        np.testing.assert_array_equal(np.asarray(img_s),
+                                      flat_full[base:base + local])
+        np.testing.assert_array_equal(
+            np.asarray(res_s)[:, :, :local],
+            np.asarray(res_full)[:, :, base:base + local])
